@@ -1,0 +1,179 @@
+"""Anisotropic-L2 memory affinity math — the per-frame hot kernel.
+
+Numerical parity targets in the reference repo (model/memory_util.py:7-80):
+  - get_similarity: shrinkage-scaled anisotropic L2 similarity between memory
+    keys and query keys with a per-query-channel selection term
+  - do_softmax(top_k): exact top-k softmax — exp of the top-k scores WITHOUT
+    max subtraction (scores are bounded; with the selection term they are
+    <= 0 by construction), zeros elsewhere
+  - readout: value readout through the affinity
+
+TPU-first design notes:
+  * Query-major layout: similarity is [P, N] (P = query pixels, N = memory
+    elements), so top-k runs over the trailing axis (lane dimension) and both
+    matmuls hit the MXU with contiguous operands.
+  * All functions are mask-driven: invalid memory slots (fixed-capacity ring
+    buffers are masked, never resized) get -inf scores, which top-k + exp turn
+    into exact zeros. This reproduces the reference's per-object-group ragged
+    softmax (inference/memory_manager.py:99-120) with a single static-shape
+    kernel.
+  * A fused Pallas kernel with the same contract lives in
+    xmem2_tpu/ops/readout_kernel.py; this module is the jnp reference
+    implementation and the fallback for CPU tests.
+"""
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # used instead of -jnp.inf so exp() gives exact 0 without nan risk
+
+# f32 inputs go through the MXU at full precision (bf16 inputs are unaffected:
+# they are already native MXU operands with f32 accumulation).
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def get_similarity(
+    mk: jnp.ndarray,
+    ms: Optional[jnp.ndarray],
+    qk: jnp.ndarray,
+    qe: Optional[jnp.ndarray],
+    accum_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Similarity between memory keys and query keys.
+
+    Args:
+      mk: [N, Ck] memory keys.
+      ms: [N] memory shrinkage (>= 1), or None.
+      qk: [P, Ck] query keys.
+      qe: [P, Ck] query selection in [0, 1], or None.
+
+    Returns:
+      sim: [P, N] similarity (note: transposed w.r.t. the reference's B x N x HW
+      layout; query-major is the TPU-friendly orientation).
+
+    With selection:   sim[p,n] = -sum_c qe[p,c] * (mk[n,c] - qk[p,c])^2
+    Without:          sim[p,n] = -||mk[n]||^2 + 2 mk[n].qk[p]
+    Then scaled by ms[n] / sqrt(Ck).
+    """
+    ck = mk.shape[-1]
+    if qe is not None:
+        # -a_sq + two_ab - b_sq, computed as two MXU matmuls + a row reduction
+        a_sq = jnp.matmul(qe, (mk * mk).T, preferred_element_type=accum_dtype, precision=_PRECISION)  # [P, N]
+        two_ab = 2.0 * jnp.matmul(qk * qe, mk.T, preferred_element_type=accum_dtype, precision=_PRECISION)
+        b_sq = jnp.sum(qe * qk * qk, axis=-1, keepdims=True).astype(accum_dtype)  # [P, 1]
+        sim = -a_sq + two_ab - b_sq
+    else:
+        a_sq = jnp.sum(mk * mk, axis=-1).astype(accum_dtype)  # [N]
+        two_ab = 2.0 * jnp.matmul(qk, mk.T, preferred_element_type=accum_dtype, precision=_PRECISION)
+        sim = -a_sq[None, :] + two_ab
+
+    if ms is not None:
+        sim = sim * ms[None, :].astype(accum_dtype)
+    return sim / math.sqrt(ck)
+
+
+def softmax_w_top(
+    sim: jnp.ndarray,
+    top_k: int,
+    valid: Optional[jnp.ndarray] = None,
+    return_usage: bool = False,
+):
+    """Exact top-k softmax over the trailing (memory) axis.
+
+    Args:
+      sim: [P, N] similarities.
+      top_k: number of entries kept per query.
+      valid: optional [N] bool mask of valid memory slots. Invalid slots never
+        receive probability mass (this is how ragged per-group extents and
+        ring-buffer capacities are expressed).
+      return_usage: additionally return usage[n] = sum_p affinity[p, n].
+
+    Returns:
+      affinity [P, N] dense (zeros outside the per-query top-k),
+      optionally usage [N].
+
+    Matches reference do_softmax (model/memory_util.py:41-54): exp is applied
+    to the raw top-k values with no max subtraction.
+    """
+    if valid is not None:
+        sim = jnp.where(valid[None, :], sim, NEG_INF)
+
+    vals, idx = jax.lax.top_k(sim, top_k)  # [P, k]
+    ex = jnp.exp(jnp.where(vals <= NEG_INF * 0.5, -jnp.inf, vals))
+    ex = ex / jnp.sum(ex, axis=-1, keepdims=True)
+
+    # Scatter the normalized top-k weights back to a dense [P, N] affinity.
+    affinity = jnp.zeros(sim.shape, dtype=ex.dtype)
+    p_idx = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0), idx.shape
+    )
+    affinity = affinity.at[p_idx, idx].set(ex, mode='drop')
+
+    if return_usage:
+        return affinity, jnp.sum(affinity, axis=0)
+    return affinity
+
+
+def topk_sparse_softmax(
+    sim: jnp.ndarray,
+    top_k: int,
+    valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k softmax that stays sparse: returns (weights [P,k], indices [P,k]).
+
+    Same numerics as softmax_w_top but without materializing the dense [P, N]
+    affinity — used by the gather-based readout path.
+    """
+    if valid is not None:
+        sim = jnp.where(valid[None, :], sim, NEG_INF)
+    vals, idx = jax.lax.top_k(sim, top_k)
+    ex = jnp.exp(jnp.where(vals <= NEG_INF * 0.5, -jnp.inf, vals))
+    ex = ex / jnp.sum(ex, axis=-1, keepdims=True)
+    return ex, idx
+
+
+def masked_softmax(sim: jnp.ndarray, valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Full (non-top-k) softmax over the trailing axis with optional validity.
+
+    Matches reference do_softmax without top_k (model/memory_util.py:55-59):
+    max-subtracted for stability.
+    """
+    if valid is not None:
+        sim = jnp.where(valid[None, :], sim, NEG_INF)
+    m = jnp.max(sim, axis=-1, keepdims=True)
+    ex = jnp.exp(sim - m)
+    return ex / jnp.sum(ex, axis=-1, keepdims=True)
+
+
+def readout(affinity: jnp.ndarray, mv: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
+    """Value readout: [P, N] @ [N, Cv] -> [P, Cv] (reference memory_util.py:73-80)."""
+    out = jnp.matmul(affinity, mv, preferred_element_type=jnp.float32, precision=_PRECISION)
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
+    return out
+
+
+def sparse_readout(weights: jnp.ndarray, idx: jnp.ndarray, mv: jnp.ndarray) -> jnp.ndarray:
+    """Gather-based readout from sparse top-k affinity.
+
+    weights/idx: [P, k] from topk_sparse_softmax; mv: [N, Cv].
+    Returns [P, Cv]. FLOPs O(P*k*Cv) instead of O(P*N*Cv).
+    """
+    gathered = jnp.take(mv, idx, axis=0)  # [P, k, Cv]
+    return jnp.einsum('pk,pkc->pc', weights, gathered,
+                      preferred_element_type=jnp.float32, precision=_PRECISION)
+
+
+def sparse_usage(weights: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    """usage[n] = sum of top-k weights that landed on slot n (scatter-add)."""
+    usage = jnp.zeros((n,), dtype=weights.dtype)
+    return usage.at[idx.reshape(-1)].add(weights.reshape(-1), mode='drop')
+
+
+def get_affinity(mk, ms, qk, qe, valid=None):
+    """Training-path shorthand: dense softmax of the similarity
+    (reference memory_util.py:67-71)."""
+    return masked_softmax(get_similarity(mk, ms, qk, qe), valid)
