@@ -1,0 +1,198 @@
+"""Functional NN primitives, NHWC-native for TPU.
+
+Parameter trees are nested dicts whose leaf names mirror the torch state-dict
+conventions of the reference model ('weight', 'bias', 'running_mean',
+'running_var') with layouts already converted for XLA:
+  conv weight:   HWIO  (torch OIHW is transposed by the bridge)
+  linear weight: [in, out]
+Everything here is shape-static and jit-friendly. Convs run on the MXU; use
+`dtype=jnp.bfloat16` for the fast path (accumulation stays f32).
+"""
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+_CONV_DIMS = ('NHWC', 'HWIO', 'NHWC')
+
+# f32 operands go through the MXU at full precision (XLA's default CPU/TPU conv
+# is allowed to downcast); bf16 operands — the TPU fast path — are unaffected,
+# they are native MXU inputs with f32 accumulation either way.
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def conv2d(
+    x: jnp.ndarray,
+    params: dict,
+    stride: Union[int, Tuple[int, int]] = 1,
+    padding: Union[int, Tuple[int, int]] = 0,
+    dilation: Union[int, Tuple[int, int]] = 1,
+    dtype=None,
+) -> jnp.ndarray:
+    """2D convolution. x: [N, H, W, Cin], params['weight']: [kh, kw, Cin, Cout]."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    w = params['weight']
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        rhs_dilation=dilation,
+        dimension_numbers=_CONV_DIMS,
+        preferred_element_type=jnp.float32,
+        precision=_PRECISION,
+    )
+    if 'bias' in params and params['bias'] is not None:
+        out = out + params['bias'].astype(out.dtype)
+    if dtype is not None:
+        out = out.astype(dtype)
+    return out
+
+
+def batch_norm(x: jnp.ndarray, params: dict, eps: float = 1e-5) -> jnp.ndarray:
+    """Inference batch norm with running statistics (torch nn.BatchNorm2d eval).
+
+    Computed in f32 regardless of x dtype, result cast back.
+    """
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    inv = jax.lax.rsqrt(params['running_var'].astype(jnp.float32) + eps)
+    scale = params['weight'].astype(jnp.float32) * inv
+    shift = params['bias'].astype(jnp.float32) - params['running_mean'].astype(jnp.float32) * scale
+    return (x32 * scale + shift).astype(dt)
+
+
+def batch_norm_train(
+    x: jnp.ndarray, params: dict, eps: float = 1e-5, axis_name: Optional[str] = None,
+):
+    """Training batch norm: normalizes with batch statistics computed over
+    (N, H, W); when `axis_name` is given the statistics are additionally
+    all-reduced across that mesh axis (TPU-native SyncBN — the reference's
+    CUDA syncbn kernels, fbrs csrc/cuda/bn_cuda.cu, reduce to a pmean here).
+
+    Returns (out, batch_mean, batch_var) so the caller can maintain running
+    statistics functionally.
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(0, 1, 2))
+    mean_sq = jnp.mean(x32 * x32, axis=(0, 1, 2))
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+        mean_sq = jax.lax.pmean(mean_sq, axis_name)
+    var = mean_sq - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    out = (x32 - mean) * inv * params['weight'].astype(jnp.float32) + params['bias'].astype(jnp.float32)
+    return out.astype(x.dtype), mean, var
+
+
+def linear(x: jnp.ndarray, params: dict, dtype=None) -> jnp.ndarray:
+    """x: [..., in]; params['weight']: [in, out]."""
+    w = params['weight']
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
+    out = jnp.matmul(x, w, preferred_element_type=jnp.float32,
+                     precision=_PRECISION)
+    if 'bias' in params and params['bias'] is not None:
+        out = out + params['bias'].astype(out.dtype)
+    return out
+
+
+def max_pool(x: jnp.ndarray, window: int = 3, stride: int = 2, padding: int = 1) -> jnp.ndarray:
+    """Max pooling over H, W of an NHWC array (torch nn.MaxPool2d semantics)."""
+    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x, neg, jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+
+
+def avg_pool(x: jnp.ndarray, window: int, stride: Optional[int] = None) -> jnp.ndarray:
+    """Average pooling (used for torch F.interpolate(mode='area') with integer
+    downscale factors, and CBAM global pooling when window == H)."""
+    if stride is None:
+        stride = window
+    s = jax.lax.reduce_window(
+        x.astype(jnp.float32), 0.0, jax.lax.add,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding='VALID',
+    )
+    return (s / (window * window)).astype(x.dtype)
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize, half-pixel centers, no antialiasing — matches torch
+    F.interpolate(mode='bilinear', align_corners=False) for both up and down
+    scaling (jax.image.resize antialiases on downscale, so we hand-roll).
+
+    x: [..., H, W, C].
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+
+    def axis_weights(in_size, out_size):
+        scale = in_size / out_size
+        coord = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+        coord = jnp.clip(coord, 0.0, in_size - 1)
+        lo = jnp.floor(coord).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, in_size - 1)
+        frac = coord - lo.astype(jnp.float32)
+        return lo, hi, frac
+
+    hlo, hhi, hf = axis_weights(h, oh)
+    wlo, whi, wf = axis_weights(w, ow)
+
+    top = jnp.take(x32, hlo, axis=-3)
+    bot = jnp.take(x32, hhi, axis=-3)
+    rows = top + (bot - top) * hf.reshape((oh, 1, 1))
+    left = jnp.take(rows, wlo, axis=-2)
+    right = jnp.take(rows, whi, axis=-2)
+    out = left + (right - left) * wf.reshape((ow, 1))
+    return out.astype(dt)
+
+
+def resize_nearest(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Nearest resize matching torch F.interpolate(mode='nearest'):
+    src = floor(dst * in/out). x: [..., H, W, C]."""
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    hi = jnp.floor(jnp.arange(oh) * (h / oh)).astype(jnp.int32)
+    wi = jnp.floor(jnp.arange(ow) * (w / ow)).astype(jnp.int32)
+    return jnp.take(jnp.take(x, hi, axis=-3), wi, axis=-2)
+
+
+def interpolate_area_down(x: jnp.ndarray, ratio: float) -> jnp.ndarray:
+    """torch F.interpolate(mode='area') for integer downscale factors
+    (the decoder uses ratios 1/2 and 1/4 — exact average pooling)."""
+    factor = int(round(1.0 / ratio))
+    assert abs(1.0 / ratio - factor) < 1e-6, 'area resize only supports integer factors'
+    lead = x.shape[:-3]
+    h, w, c = x.shape[-3:]
+    xf = x.reshape((-1, h, w, c))
+    out = avg_pool(xf, factor)
+    return out.reshape(lead + out.shape[1:])
+
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
+def sigmoid(x):
+    return jax.nn.sigmoid(x)

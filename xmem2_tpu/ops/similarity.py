@@ -3,9 +3,9 @@
 Numerical parity targets in the reference repo (model/memory_util.py:7-80):
   - get_similarity: shrinkage-scaled anisotropic L2 similarity between memory
     keys and query keys with a per-query-channel selection term
-  - do_softmax(top_k): exact top-k softmax — exp of the top-k scores WITHOUT
-    max subtraction (scores are bounded; with the selection term they are
-    <= 0 by construction), zeros elsewhere
+  - do_softmax(top_k): exact top-k softmax, zeros outside the top-k. (We add
+    max-subtraction — a mathematical no-op the reference skips — because the
+    reference's "scores <= 0" bound can be violated by fp cancellation.)
   - readout: value readout through the affinity
 
 TPU-first design notes:
@@ -101,7 +101,12 @@ def softmax_w_top(
     if valid is not None:
         sim = jnp.where(valid[None, :], sim, NEG_INF)
 
-    vals, idx = jax.lax.top_k(sim, top_k)  # [P, k]
+    top_k = min(top_k, sim.shape[-1])  # tiny memories degrade to full softmax
+    vals, idx = jax.lax.top_k(sim, top_k)  # [P, k], sorted descending
+    # Max-subtraction is a mathematical no-op for softmax but prevents overflow
+    # (the reference skips it, model/memory_util.py:48, relying on sim <= 0;
+    # that bound is violated by fp cancellation when keys are large).
+    vals = vals - vals[..., :1]
     ex = jnp.exp(jnp.where(vals <= NEG_INF * 0.5, -jnp.inf, vals))
     ex = ex / jnp.sum(ex, axis=-1, keepdims=True)
 
@@ -129,7 +134,9 @@ def topk_sparse_softmax(
     """
     if valid is not None:
         sim = jnp.where(valid[None, :], sim, NEG_INF)
+    top_k = min(top_k, sim.shape[-1])  # tiny memories degrade to full softmax
     vals, idx = jax.lax.top_k(sim, top_k)
+    vals = vals - vals[..., :1]  # see softmax_w_top: no-op mathematically
     ex = jnp.exp(jnp.where(vals <= NEG_INF * 0.5, -jnp.inf, vals))
     ex = ex / jnp.sum(ex, axis=-1, keepdims=True)
     return ex, idx
