@@ -1,0 +1,82 @@
+"""Benchmark: end-to-end 480p inference FPS on example_videos/chair.
+
+Mirrors the reference's headline number (30+ FPS interactive 480p
+segmentation on an RTX 3090, reference README.md:63). Runs the real per-frame
+pipeline — key encode, memory readout (permanent + working + consolidation),
+decode — over all 60 chair frames at size=480 with randomly initialized
+weights (weights do not change the compute graph), reporting steady-state FPS
+after a full warmup pass.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 30.0  # reference README.md:63 (RTX 3090)
+CHAIR = '/root/reference/example_videos/chair'
+
+
+def build(size=480):
+    import jax.numpy as jnp
+    from xmem2_tpu.config import VIDEO_INFERENCE_CONFIG
+    from xmem2_tpu.models.init import init_params
+    from xmem2_tpu.inference.net import XMemNet
+    from xmem2_tpu.inference.core import InferenceCore
+    from xmem2_tpu.inference.data.video_reader import VideoReader
+    from xmem2_tpu.inference.data.mask_mapper import MaskMapper
+
+    cfg = VIDEO_INFERENCE_CONFIG.copy()
+    cfg['size'] = size
+    cfg['compute_dtype'] = 'bfloat16'
+    params = init_params(seed=0)
+    net = XMemNet(params, compute_dtype=jnp.bfloat16)
+    reader = VideoReader('', f'{CHAIR}/JPEGImages', f'{CHAIR}/Annotations',
+                         size=size, use_all_masks=False)
+    samples = [reader[i] for i in range(len(reader))]
+
+    mapper = MaskMapper()
+    msk0, labels = mapper.convert_mask(samples[0].mask, exhaustive=True)
+    msk0 = reader.resize_mask(msk0)
+    return cfg, net, samples, msk0, list(mapper.remappings.values())
+
+
+def run_video(net, cfg, samples, msk0, labels):
+    import jax
+    import jax.numpy as jnp
+    from xmem2_tpu.inference.core import InferenceCore
+    proc = InferenceCore(net, config=dict(cfg))
+    proc.set_all_labels(labels)
+    m0 = jnp.asarray(msk0)
+    last = None
+    for ti, s in enumerate(samples):
+        rgb = jnp.asarray(s.rgb)
+        if ti == 0:
+            last = proc.step(rgb, m0, labels, end=(ti == len(samples) - 1))
+        else:
+            last = proc.step(rgb, end=(ti == len(samples) - 1))
+    jax.block_until_ready(last)
+    return last
+
+
+def main():
+    cfg, net, samples, msk0, labels = build()
+    # warmup pass compiles every frame-kind variant
+    run_video(net, cfg, samples, msk0, labels)
+    # timed steady-state pass
+    t0 = time.perf_counter()
+    run_video(net, cfg, samples, msk0, labels)
+    dt = time.perf_counter() - t0
+    fps = len(samples) / dt
+    print(json.dumps({
+        'metric': 'chair_480p_e2e_fps',
+        'value': round(fps, 2),
+        'unit': 'frames/sec',
+        'vs_baseline': round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,215 @@
+"""Benchmark evaluation over DAVIS / YouTubeVOS / long-video / generic
+datasets.
+
+CLI parity target: reference eval.py:28-257 — same flags, per-video loop,
+FPS + peak-memory report, palette mask saving, score dumps for multi-scale
+merging (saved as .npz instead of hickle), zip packaging for submission.
+Fixes the reference's latent eval.py:233 bug (VideoReader.get_palette did not
+exist; ours does).
+"""
+
+import os
+import time
+from argparse import ArgumentParser
+from os import path
+
+import numpy as np
+from PIL import Image
+
+from xmem2_tpu.config import VIDEO_INFERENCE_CONFIG
+
+
+def main():
+    parser = ArgumentParser()
+    parser.add_argument('--model', default='./saves/XMem.npz')
+    parser.add_argument('--d16_path', default='../DAVIS/2016')
+    parser.add_argument('--d17_path', default='../DAVIS/2017')
+    parser.add_argument('--y18_path', default='../YouTube2018')
+    parser.add_argument('--y19_path', default='../YouTube')
+    parser.add_argument('--lv_path', default='../long_video_set')
+    parser.add_argument('--generic_path')
+    parser.add_argument('--dataset', default='D17',
+                        help='D16/D17/Y18/Y19/LV1/LV3/G')
+    parser.add_argument('--split', default='val')
+    parser.add_argument('--output', default=None)
+    parser.add_argument('--save_all', action='store_true')
+    parser.add_argument('--benchmark', action='store_true',
+                        help='enable fair per-frame timing (blocks on device each frame)')
+    parser.add_argument('--disable_long_term', action='store_true')
+    parser.add_argument('--max_mid_term_frames', type=int, default=10)
+    parser.add_argument('--min_mid_term_frames', type=int, default=5)
+    parser.add_argument('--max_long_term_elements', type=int, default=10000)
+    parser.add_argument('--num_prototypes', type=int, default=128)
+    parser.add_argument('--top_k', type=int, default=30)
+    parser.add_argument('--mem_every', type=int, default=5)
+    parser.add_argument('--deep_update_every', type=int, default=-1)
+    parser.add_argument('--save_scores', action='store_true')
+    parser.add_argument('--size', type=int, default=480,
+                        help='resize shorter side, -1 for original')
+    parser.add_argument('--compute_dtype', default='bfloat16',
+                        choices=['float32', 'bfloat16'])
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from xmem2_tpu.bridge.torch_params import load_any
+    from xmem2_tpu.inference.core import InferenceCore
+    from xmem2_tpu.inference.net import XMemNet
+    from xmem2_tpu.inference.data.mask_mapper import MaskMapper
+    from xmem2_tpu.inference.data.test_datasets import (
+        DAVISTestDataset, GenericTestDataset, LongTestDataset,
+        YouTubeVOSTestDataset)
+    from xmem2_tpu.utils.resize_np import resize_bilinear_np
+
+    config = VIDEO_INFERENCE_CONFIG.copy()
+    config.update({
+        'model': args.model, 'size': args.size, 'top_k': args.top_k,
+        'mem_every': args.mem_every, 'deep_update_every': args.deep_update_every,
+        'enable_long_term': not args.disable_long_term,
+        'max_mid_term_frames': args.max_mid_term_frames,
+        'min_mid_term_frames': args.min_mid_term_frames,
+        'max_long_term_elements': args.max_long_term_elements,
+        'num_prototypes': args.num_prototypes,
+        'compute_dtype': args.compute_dtype,
+    })
+
+    if args.output is None:
+        args.output = f'../output/{args.dataset}_{args.split}'
+        print(f'Output path not provided. Defaulting to {args.output}')
+
+    is_youtube = args.dataset.startswith('Y')
+    is_davis = args.dataset.startswith('D')
+    is_lv = args.dataset.startswith('LV')
+
+    if is_youtube or args.save_scores:
+        out_path = path.join(args.output, 'Annotations')
+    else:
+        out_path = args.output
+
+    # dataset selection (reference eval.py:77-129)
+    if is_youtube:
+        if args.dataset == 'Y18':
+            meta_dataset = YouTubeVOSTestDataset(args.y18_path, args.split,
+                                                 size=args.size)
+        else:
+            meta_dataset = YouTubeVOSTestDataset(args.y19_path, args.split,
+                                                 size=args.size)
+    elif is_davis:
+        if args.dataset == 'D16':
+            if args.split == 'val':
+                meta_dataset = GenericTestDataset(
+                    path.join(args.d16_path, 'trainval'), size=args.size)
+            else:
+                raise NotImplementedError
+        else:
+            imset = {'val': '2017/val.txt', 'test': '2017/test-dev.txt'}[args.split]
+            meta_dataset = DAVISTestDataset(
+                args.d17_path if args.split == 'val'
+                else path.join(args.d17_path, 'trainval'),
+                imset=imset, size=args.size)
+    elif is_lv:
+        meta_dataset = LongTestDataset(
+            path.join(args.lv_path, {'LV1': 'long_video',
+                                     'LV3': 'long_video_x3'}[args.dataset]),
+            size=args.size)
+    elif args.dataset == 'G':
+        meta_dataset = GenericTestDataset(args.generic_path, size=args.size)
+    else:
+        raise NotImplementedError(args.dataset)
+
+    params = load_any(args.model)
+    network = XMemNet(params, compute_dtype={
+        'float32': jnp.float32, 'bfloat16': jnp.bfloat16}[args.compute_dtype])
+
+    total_process_time = 0.0
+    total_frames = 0
+
+    for vid_reader in meta_dataset.get_datasets():
+        vid_name = vid_reader.vid_name
+        vid_length = len(vid_reader)
+        # long-term usage heuristic per video length (reference eval.py:154-160)
+        config['enable_long_term_count_usage'] = (
+            config['enable_long_term'] and
+            (vid_length / (config['max_mid_term_frames'] -
+                           config['min_mid_term_frames'])
+             * config['num_prototypes']) >= config['max_long_term_elements'])
+
+        mapper = MaskMapper()
+        processor = InferenceCore(network, config=config)
+        first_mask_loaded = False
+
+        for ti, sample in enumerate(vid_reader):
+            frame = sample.frame
+            shape = sample.shape
+            need_resize = sample.need_resize
+
+            a = time.perf_counter()
+            rgb = jnp.asarray(sample.rgb)
+            msk = sample.mask
+            if not first_mask_loaded:
+                if msk is not None:
+                    first_mask_loaded = True
+                else:
+                    continue  # no point segmenting before the first mask
+
+            if msk is not None:
+                msk, labels = mapper.convert_mask(msk,
+                                                  exhaustive=not is_youtube)
+                if need_resize:
+                    msk = vid_reader.resize_mask(msk)
+                msk = jnp.asarray(msk)
+                processor.set_all_labels(list(mapper.remappings.values()))
+            else:
+                labels = None
+
+            prob = processor.step(rgb, msk, labels,
+                                  end=(ti == vid_length - 1))
+            prob_np = np.asarray(prob)
+            if args.benchmark:
+                pass  # np.asarray above already synchronized
+            if need_resize:
+                prob_np = np.stack([
+                    resize_bilinear_np(c[..., None], shape)[..., 0]
+                    for c in prob_np])
+            out_mask = np.argmax(prob_np, axis=0).astype(np.uint8)
+            total_process_time += time.perf_counter() - a
+            total_frames += 1
+
+            if args.save_scores:
+                prob_dir = path.join(args.output, 'Scores', vid_name)
+                os.makedirs(prob_dir, exist_ok=True)
+                np.savez_compressed(
+                    path.join(prob_dir, f'backward_{frame[:-4]}.npz'),
+                    prob=(prob_np * 255).astype(np.uint8))
+
+            if args.save_all or sample.save:
+                this_out_path = path.join(out_path, vid_name)
+                os.makedirs(this_out_path, exist_ok=True)
+                out_mask = mapper.remap_index_mask(out_mask)
+                out_img = Image.fromarray(out_mask)
+                palette = vid_reader.get_palette()
+                if palette is not None:
+                    out_img.putpalette(palette)
+                out_img.save(path.join(this_out_path, frame[:-4] + '.png'))
+
+    print(f'Total processing time: {total_process_time}')
+    print(f'Total processed frames: {total_frames}')
+    if total_process_time > 0:
+        print(f'FPS: {total_frames / total_process_time}')
+    try:
+        import jax
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get('peak_bytes_in_use', 0) / 2**20
+        print(f'Max allocated memory (MB): {peak:.0f}')
+    except Exception:
+        pass
+
+    if is_youtube:  # zip for submission (reference eval.py:251-257)
+        import shutil
+        print('Making zip for YouTubeVOS...')
+        shutil.make_archive(path.join(args.output, path.basename(args.output)),
+                            'zip', args.output, 'Annotations')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,198 @@
+"""InferenceCore — per-frame orchestration of the segmentation loop.
+
+Behavioral parity target: reference inference/inference_core.py (step :62,
+put_to_permanent_memory :154, clear_memory :28, encode_frame_key :53,
+remove_from_permanent_memory :181).
+
+The host decides frame kind (memory frame / deep update / mask provided) from
+integer counters — exactly the reference's logic — and dispatches to the
+jit-compiled network + memory kernels. Images are channels-last [H, W, 3].
+"""
+
+from typing import List, Optional
+
+import jax.numpy as jnp
+
+from xmem2_tpu.memory.manager import MemoryManager
+from xmem2_tpu.inference.net import XMemNet
+from xmem2_tpu.ops.tensor import aggregate, pad_divide_by, unpad
+
+
+class InferenceCore:
+    def __init__(self, network: XMemNet, config: dict):
+        self.config = config
+        self.network = network
+        self.mem_every = config['mem_every']
+        self.deep_update_every = config['deep_update_every']
+        self.enable_long_term = config['enable_long_term']
+
+        # if deep_update_every < 0, synchronize deep update with memory frames
+        self.deep_update_sync = (self.deep_update_every < 0)
+
+        self.clear_memory()
+        self.all_labels: Optional[List[int]] = None
+
+    def clear_memory(self, keep_permanent: bool = False):
+        self.curr_ti = -1
+        self.last_mem_ti = 0
+        if not self.deep_update_sync:
+            self.last_deep_update_ti = -self.deep_update_every
+        if keep_permanent:
+            new_memory = self.memory.copy_perm_mem_only()
+        else:
+            new_memory = MemoryManager(config=self.config)
+        self.memory = new_memory
+
+    def update_config(self, config: dict):
+        self.mem_every = config['mem_every']
+        self.deep_update_every = config['deep_update_every']
+        self.enable_long_term = config['enable_long_term']
+        self.deep_update_sync = (self.deep_update_every < 0)
+        self.memory.update_config(config)
+
+    def set_all_labels(self, all_labels: List[int]):
+        self.all_labels = list(all_labels)
+
+    def encode_frame_key(self, image: jnp.ndarray):
+        """image [H, W, 3] -> (key, shrinkage, selection), each [1, h, w, C]."""
+        image, self.pad = pad_divide_by(image, 16)
+        key, shrinkage, selection, *_ = self.network.encode_key(image[None])
+        return key, shrinkage, selection
+
+    def step(self, image: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+             valid_labels: Optional[List[int]] = None, end: bool = False,
+             manually_curated_masks: bool = False,
+             disable_memory_updates: bool = False,
+             do_not_add_mask_to_memory: bool = False,
+             return_key_and_stuff: bool = False):
+        """One frame. image: [H, W, 3] float (ImageNet-normalized);
+        mask: [num_objects, H, W] or None. Returns prob [1+O, H, W]
+        (background included, reference step returns unpadded probs)."""
+        self.curr_ti += 1
+
+        image, self.pad = pad_divide_by(image, 16)
+        image = image[None]
+
+        if manually_curated_masks:
+            is_mem_frame = (mask is not None) and (not end)
+        else:
+            is_mem_frame = ((self.curr_ti - self.last_mem_ti >= self.mem_every)
+                            or (mask is not None)) and (not end)
+        is_ignore = do_not_add_mask_to_memory
+
+        need_segment = (valid_labels is None) or (
+            len(self.all_labels) != len(valid_labels))
+        is_deep_update = (
+            (self.deep_update_sync and is_mem_frame) or
+            (not self.deep_update_sync and
+             self.curr_ti - self.last_deep_update_ti >= self.deep_update_every)
+        ) and (not end)
+        is_normal_update = (not self.deep_update_sync or not is_deep_update) \
+            and (not end)
+
+        key, shrinkage, selection, f16, f8, f4 = self.network.encode_key(image)
+        multi_scale_features = (f16, f8, f4)
+
+        if disable_memory_updates:
+            is_normal_update = False
+            is_deep_update = False
+            is_mem_frame = False
+            self.curr_ti -= 1  # do not advance the iteration further
+
+        if need_segment:
+            memory_readout = self.memory.match_memory(
+                key, selection, disable_usage_updates=disable_memory_updates)
+            hidden, _, pred_prob_with_bg = self.network.segment(
+                multi_scale_features, memory_readout, self.memory.get_hidden(),
+                h_out=is_normal_update, strip_bg=False)
+            pred_prob_with_bg = pred_prob_with_bg[0]       # [1+O, H, W]
+            pred_prob_no_bg = pred_prob_with_bg[1:]
+            if is_normal_update:
+                self.memory.set_hidden(hidden)
+        else:
+            pred_prob_no_bg = pred_prob_with_bg = None
+
+        # use the input mask if provided (reference step :114-133)
+        if mask is not None:
+            mask, _ = pad_divide_by(mask[..., None], 16)
+            mask = mask[..., 0]                             # [O, H, W]
+
+            if pred_prob_no_bg is not None:
+                # make the prediction consistent with the provided mask
+                mask_regions = jnp.sum(mask, axis=0) > 0.5
+                pred_prob_no_bg = jnp.where(mask_regions[None], 0.0,
+                                            pred_prob_no_bg)
+                mask = mask.astype(pred_prob_no_bg.dtype)
+                if valid_labels is not None:
+                    # non-labelled objects keep their predicted probabilities
+                    shift_by_one_non_labels = [
+                        i for i in range(pred_prob_no_bg.shape[0])
+                        if (i + 1) not in valid_labels
+                    ]
+                    if shift_by_one_non_labels:
+                        mask = mask.at[jnp.asarray(shift_by_one_non_labels)].set(
+                            pred_prob_no_bg[jnp.asarray(shift_by_one_non_labels)])
+            pred_prob_with_bg = aggregate(
+                jnp.moveaxis(mask, 0, -1), axis=-1)
+            pred_prob_with_bg = jnp.moveaxis(pred_prob_with_bg, -1, 0)
+
+            if not disable_memory_updates:
+                self.memory.create_hidden_state(len(self.all_labels), key)
+
+        if is_mem_frame:
+            value, hidden = self.network.encode_value(
+                image, f16, self.memory.get_hidden(),
+                pred_prob_with_bg[1:][None], is_deep_update=is_deep_update)
+            self.memory.add_memory(
+                key, shrinkage, value, self.all_labels,
+                selection=selection if self.enable_long_term else None,
+                ignore=is_ignore)
+            self.last_mem_ti = self.curr_ti
+            if is_deep_update:
+                self.memory.set_hidden(hidden)
+                self.last_deep_update_ti = self.curr_ti
+
+        res = unpad(jnp.moveaxis(pred_prob_with_bg, 0, -1), self.pad)
+        res = jnp.moveaxis(res, -1, 0)
+
+        if return_key_and_stuff:
+            return res, key, shrinkage, selection
+        return res
+
+    def put_to_permanent_memory(self, image: jnp.ndarray, mask: jnp.ndarray,
+                                ti: Optional[int] = None) -> bool:
+        """image [H, W, 3]; mask [O, H, W]. Returns True when the frame was
+        already in permanent memory and got updated in place."""
+        image, self.pad = pad_divide_by(image, 16)
+        image = image[None]
+        key, shrinkage, selection, f16, *_ = self.network.encode_key(image)
+
+        mask, _ = pad_divide_by(mask[..., None], 16)
+        mask = mask[..., 0]
+
+        pred_prob_with_bg = aggregate(jnp.moveaxis(mask, 0, -1), axis=-1)
+        pred_prob_with_bg = jnp.moveaxis(pred_prob_with_bg, -1, 0)
+        self.memory.create_hidden_state(len(self.all_labels), key)
+
+        value, _ = self.network.encode_value(
+            image, f16, self.memory.get_hidden(),
+            pred_prob_with_bg[1:][None], is_deep_update=False)
+
+        is_update = self.memory.frame_already_saved(ti)
+        if is_update:
+            self.memory.update_permanent_memory(
+                ti, key, shrinkage, value,
+                selection=selection if self.enable_long_term else None)
+        else:
+            self.memory.add_memory(
+                key, shrinkage, value, self.all_labels,
+                selection=selection if self.enable_long_term else None,
+                permanent=True, ti=ti)
+        return is_update
+
+    def remove_from_permanent_memory(self, frame_idx: int):
+        self.memory.remove_from_permanent_memory(frame_idx)
+
+    @property
+    def permanent_memory_frames(self):
+        return list(self.memory.frame_id_to_permanent_mem_idx.keys())

@@ -107,10 +107,13 @@ def linear(x: jnp.ndarray, params: dict, dtype=None) -> jnp.ndarray:
 
 
 def max_pool(x: jnp.ndarray, window: int = 3, stride: int = 2, padding: int = 1) -> jnp.ndarray:
-    """Max pooling over H, W of an NHWC array (torch nn.MaxPool2d semantics)."""
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    """Max pooling over H, W of an NHWC array (torch nn.MaxPool2d semantics).
+
+    The init value must be the literal -inf: XLA only attaches a reverse-mode
+    gradient rule to reduce_window-max when it pattern-matches a max-pool.
+    """
     return jax.lax.reduce_window(
-        x, neg, jax.lax.max,
+        x, -jnp.inf, jax.lax.max,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),
         padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
