@@ -22,6 +22,7 @@ class InferenceCore:
     def __init__(self, network: XMemNet, config: dict):
         self.config = config
         self.network = network
+        self.size = config.get('size', -1)
         self.mem_every = config['mem_every']
         self.deep_update_every = config['deep_update_every']
         self.enable_long_term = config['enable_long_term']
@@ -54,7 +55,10 @@ class InferenceCore:
         self.all_labels = list(all_labels)
 
     def encode_frame_key(self, image: jnp.ndarray):
-        """image [H, W, 3] -> (key, shrinkage, selection), each [1, h, w, C]."""
+        """image [H, W, 3] float or uint8 -> (key, shrinkage, selection)."""
+        if image.dtype == jnp.uint8:
+            from xmem2_tpu.inference.preprocess import preprocess_frame
+            image = preprocess_frame(image, self.size)
         image, self.pad = pad_divide_by(image, 16)
         key, shrinkage, selection, *_ = self.network.encode_key(image[None])
         return key, shrinkage, selection
@@ -65,11 +69,15 @@ class InferenceCore:
              disable_memory_updates: bool = False,
              do_not_add_mask_to_memory: bool = False,
              return_key_and_stuff: bool = False):
-        """One frame. image: [H, W, 3] float (ImageNet-normalized);
+        """One frame. image: [H, W, 3] float (ImageNet-normalized) OR raw
+        [H0, W0, 3] uint8 (normalize+resize then run on device);
         mask: [num_objects, H, W] or None. Returns prob [1+O, H, W]
         (background included, reference step returns unpadded probs)."""
         self.curr_ti += 1
 
+        if image.dtype == jnp.uint8:
+            from xmem2_tpu.inference.preprocess import preprocess_frame
+            image = preprocess_frame(image, self.size)
         image, self.pad = pad_divide_by(image, 16)
         image = image[None]
 
@@ -161,8 +169,12 @@ class InferenceCore:
 
     def put_to_permanent_memory(self, image: jnp.ndarray, mask: jnp.ndarray,
                                 ti: Optional[int] = None) -> bool:
-        """image [H, W, 3]; mask [O, H, W]. Returns True when the frame was
-        already in permanent memory and got updated in place."""
+        """image [H, W, 3] float or [H0, W0, 3] uint8; mask [O, H, W].
+        Returns True when the frame was already in permanent memory and got
+        updated in place."""
+        if image.dtype == jnp.uint8:
+            from xmem2_tpu.inference.preprocess import preprocess_frame
+            image = preprocess_frame(image, self.size)
         image, self.pad = pad_divide_by(image, 16)
         image = image[None]
         key, shrinkage, selection, f16, *_ = self.network.encode_key(image)

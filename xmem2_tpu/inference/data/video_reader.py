@@ -35,19 +35,24 @@ class Sample:
     shape: tuple                    # original (H, W)
     need_resize: bool
     mask: Optional[np.ndarray] = None  # [H, W] uint8 index mask (original size)
+    rgb_u8: Optional[np.ndarray] = None  # [H0, W0, 3] raw uint8 (device-preprocess path)
 
 
 class VideoReader:
     """Reads a video one frame at a time (reference video_reader.py:32)."""
 
     def __init__(self, vid_name, video_path, mask_dir, size=-1, to_save=None,
-                 use_all_masks=False, size_dir=None):
+                 use_all_masks=False, size_dir=None, host_preprocess=True):
+        """host_preprocess=False skips CPU-side normalize/resize: Sample.rgb
+        is None and Sample.rgb_u8 carries the raw frame for the on-device
+        preprocessing path (xmem2_tpu/inference/preprocess.py)."""
         self.vid_name = vid_name
         self.video_path = video_path
         self.mask_dir = mask_dir
         self.to_save = to_save
         self.use_all_masks = use_all_masks
         self.size = size
+        self.host_preprocess = host_preprocess
 
         mask_files = sorted(os.listdir(mask_dir))
         if not mask_files:
@@ -84,11 +89,15 @@ class VideoReader:
         if not os.path.exists(gt_path):
             gt_path = path.join(self.mask_dir, frame_name[:-4] + '.PNG')
 
-        rgb = np.asarray(img_pil, np.float32) / 255.0
-        rgb = (rgb - IMAGENET_MEAN) / IMAGENET_STD
-        if self.size > 0:
-            rgb = resize_bilinear_np(
-                rgb, shorter_side_size(rgb.shape[0], rgb.shape[1], self.size))
+        rgb_u8 = np.asarray(img_pil, np.uint8)
+        if self.host_preprocess:
+            rgb = rgb_u8.astype(np.float32) / 255.0
+            rgb = (rgb - IMAGENET_MEAN) / IMAGENET_STD
+            if self.size > 0:
+                rgb = resize_bilinear_np(
+                    rgb, shorter_side_size(rgb.shape[0], rgb.shape[1], self.size))
+        else:
+            rgb = None
 
         mask = None
         load_mask = self.use_all_masks or (gt_path == self.first_gt_path)
@@ -103,6 +112,7 @@ class VideoReader:
             shape=shape,
             need_resize=self.size > 0,
             mask=mask,
+            rgb_u8=rgb_u8,
         )
 
     def __iter__(self):

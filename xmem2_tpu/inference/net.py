@@ -26,7 +26,10 @@ class XMemNet:
     """
 
     def __init__(self, params: XMemParams, compute_dtype=jnp.float32):
-        self.params = params
+        # Pin all weights on-device once. Leaving numpy leaves in the tree
+        # would re-upload every parameter on every jitted call (host->device
+        # transfers dominate on tunneled TPUs).
+        self.params = jax.device_put(params)
         self.dtype = compute_dtype
 
         self._encode_key = jax.jit(

@@ -107,12 +107,11 @@ def _preload_permanent_memory(frames_to_put_in_permanent_memory: List[int],
 
 def _post_process(sample: Sample, prob: jnp.ndarray) -> np.ndarray:
     """prob [1+O, H, W] -> index mask at the original resolution
-    (reference _post_process :165-173)."""
-    p = np.asarray(prob)
-    if sample.need_resize:
-        p = np.stack([resize_bilinear_np(c[..., None], sample.shape)[..., 0]
-                      for c in p])
-    return np.argmax(p, axis=0).astype(np.uint8)
+    (reference _post_process :165-173; resize+argmax run on device and only
+    the uint8 mask is transferred)."""
+    from xmem2_tpu.inference.postprocess import prob_to_mask
+    out_hw = tuple(int(x) for x in sample.shape) if sample.need_resize else None
+    return np.asarray(prob_to_mask(prob, out_hw))
 
 
 def _inference_on_video(frames_with_masks, imgs_in_path, masks_in_path,

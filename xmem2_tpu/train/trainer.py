@@ -179,6 +179,7 @@ class XMemTrainer:
         self.optimizer = make_optimizer(config)
         self.mesh = mesh
         self.step_fn = make_train_step(config, self.optimizer, mesh, dtype)
+        params = jax.device_put(params)  # pin weights on-device once
         self.state = TrainState(
             params=params,
             opt_state=self.optimizer.init(params.tree),
