@@ -1,0 +1,66 @@
+"""The fused Pallas readout kernel (interpret mode on CPU) must match the jnp
+reference path exactly: per-group top-k softmax + per-object readout +
+group-0 usage."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from xmem2_tpu.ops import similarity as S
+from xmem2_tpu.ops.readout_kernel import fused_topk_readout
+
+
+def jnp_reference(mk, ms, qk, qe, values, valid, group_ids, top_k):
+    sim = S.get_similarity(mk, ms, qk, qe)
+    affs = [S.softmax_w_top(sim, top_k, valid=valid[g])
+            for g in range(valid.shape[0])]
+    read = jnp.stack([S.readout(affs[g], values[o])
+                      for o, g in enumerate(group_ids)])
+    usage = jnp.sum(affs[0], axis=0)
+    return read, usage
+
+
+def make_case(seed, n, p, o, g, ck=16, cv=32, invalid_tail=0):
+    rng = np.random.default_rng(seed)
+    mk = rng.standard_normal((n, ck)).astype(np.float32)
+    ms = (rng.standard_normal((n,)).astype(np.float32) ** 2) + 1
+    qk = rng.standard_normal((p, ck)).astype(np.float32)
+    qe = (1 / (1 + np.exp(-rng.standard_normal((p, ck))))).astype(np.float32)
+    values = rng.standard_normal((o, n, cv)).astype(np.float32)
+    valid = np.ones((g, n), bool)
+    if invalid_tail:
+        valid[:, -invalid_tail:] = False
+    if g > 1:
+        valid[1, :n // 3] = False  # a later group missing the oldest slots
+    return (jnp.asarray(mk), jnp.asarray(ms), jnp.asarray(qk), jnp.asarray(qe),
+            jnp.asarray(values), jnp.asarray(valid))
+
+
+@pytest.mark.parametrize('n,p,o,g,gids', [
+    (700, 130, 1, 1, (0,)),
+    (1200, 260, 2, 1, (0, 0)),
+    (900, 100, 3, 2, (0, 0, 1)),
+])
+def test_matches_jnp(n, p, o, g, gids):
+    mk, ms, qk, qe, values, valid = make_case(0, n, p, o, g, invalid_tail=37)
+    top_k = 30
+    ref_read, ref_usage = jnp_reference(mk, ms, qk, qe, values, valid, gids,
+                                        top_k)
+    got_read, got_usage = fused_topk_readout(mk, ms, qk, qe, values, valid,
+                                             gids, top_k, interpret=True)
+    # readout tolerance covers the kernel's default-precision MXU dot
+    # (the jnp path pins Precision.HIGHEST); affinities/usage are exact
+    np.testing.assert_allclose(np.asarray(got_read), np.asarray(ref_read),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(got_usage), np.asarray(ref_usage),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_tiny_memory_degenerates_to_full_softmax():
+    mk, ms, qk, qe, values, valid = make_case(1, 20, 40, 1, 1)
+    ref_read, ref_usage = jnp_reference(mk, ms, qk, qe, values, valid, (0,), 30)
+    got_read, got_usage = fused_topk_readout(mk, ms, qk, qe, values, valid,
+                                             (0,), 30, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_read), np.asarray(ref_read),
+                               rtol=5e-3, atol=5e-3)

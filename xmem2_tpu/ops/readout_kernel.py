@@ -1,0 +1,169 @@
+"""Fused Pallas TPU kernel for the memory readout hot path.
+
+The per-frame hot op (reference model/memory_util.py:7-80 +
+inference/memory_manager.py:61-190) is: anisotropic-L2 similarity between the
+query frame and all memory slots, per-object-group top-k softmax, value
+readout, and usage accumulation. The straightforward XLA path materializes a
+dense [G, HW, N] affinity per group in HBM (hundreds of MB at long-video
+scale) and reads it back for G readout matmuls plus a usage reduction.
+
+Split of work here:
+  1. XLA computes the dense similarity once (two MXU matmuls) and, per object
+     group, its top-k — which yields everything the softmax needs in closed
+     form: the row max, the k-th value (inclusion threshold tau), and the
+     normalizer Z = sum(exp(vals - max)).
+  2. A single-pass Pallas kernel streams similarity/value blocks and fuses:
+     threshold masking, exp, normalization, per-object value accumulation
+     (MXU), and group-0 usage accumulation. No dense affinity ever reaches
+     HBM, no scatter, no per-group affinity copies.
+
+Numerics: identical to the jnp reference path (ops/similarity.py) except on
+exact fp ties at the k-th similarity value — the kernel includes the whole
+tied set (weights then sum slightly above 1) while torch.topk picks an
+arbitrary k-subset. Ties require bit-identical memory entries (e.g. ping-pong
+duplicated long videos) and perturb weights by O(1/k).
+"""
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BQ = 256   # query tile
+BN = 512   # memory tile
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _make_kernel(n_blocks: int, num_groups: int, group_ids: Tuple[int, ...],
+                 cv: int):
+    num_objects = len(group_ids)
+
+    def kernel(sim_ref, v_ref, valid_ref, tau_ref, rmax_ref, invz_ref,
+               qvalid_ref, out_ref, usage_ref, acc_ref):
+        """Grid (q_blocks, n_blocks); n is the fast axis, so `acc` accumulates
+        the readout across memory blocks for one query block, and the usage
+        output block (indexed by n) accumulates across query blocks."""
+        qi = pl.program_id(0)
+        ni = pl.program_id(1)
+        tau = tau_ref[...]                      # [BQ, G]
+        rmax = rmax_ref[...]                    # [BQ, G]
+        invz = invz_ref[...]                    # [BQ, G]
+        qvalid = qvalid_ref[...]                # [BQ, 1]
+
+        @pl.when(ni == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        sim = sim_ref[...]                      # [BQ, BN]
+        gv = valid_ref[...]                     # [G, BN] f32
+        aff = []
+        for g in range(num_groups):
+            t = tau[:, g][:, None]
+            m = rmax[:, g][:, None]
+            z = invz[:, g][:, None]
+            w = jnp.where(sim >= t, jnp.exp(sim - m), 0.0)
+            aff.append(w * gv[g][None, :] * z * qvalid)
+        for o in range(num_objects):
+            acc_ref[:, o * cv:(o + 1) * cv] += jnp.dot(
+                aff[group_ids[o]], v_ref[o],
+                preferred_element_type=jnp.float32)
+
+        @pl.when(qi == 0)
+        def _():
+            usage_ref[...] = jnp.zeros_like(usage_ref)
+        usage_ref[0, :] += jnp.sum(aff[0], axis=0)
+
+        @pl.when(ni == n_blocks - 1)
+        def _():
+            out_ref[...] = acc_ref[...]
+
+    return kernel
+
+
+def fused_topk_readout(
+    mk: jnp.ndarray,           # [N, Ck]
+    ms: jnp.ndarray,           # [N]
+    qk: jnp.ndarray,           # [P, Ck]
+    qe: jnp.ndarray,           # [P, Ck] or None
+    values: jnp.ndarray,       # [O, N, Cv]
+    valid: jnp.ndarray,        # [G, N] bool
+    group_ids: Tuple[int, ...],
+    top_k: int,
+    interpret: bool = False,
+):
+    """Returns (readout [O, P, Cv] f32, usage [N] f32).
+
+    Equivalent to: per-group softmax_w_top over valid slots, per-object
+    readout, group-0 usage (the jnp path in ops/similarity.py)."""
+    from xmem2_tpu.ops.similarity import NEG_INF, get_similarity
+
+    p = qk.shape[0]
+    n = mk.shape[0]
+    o, _, cv = values.shape
+    g = valid.shape[0]
+
+    # --- XLA prologue: dense similarity + per-group softmax stats ----------
+    sim = get_similarity(mk, ms, qk, qe)                  # [P, N] f32
+    k = min(top_k, n)
+    taus, rmaxs, invzs = [], [], []
+    for gi in range(g):
+        simg = jnp.where(valid[gi][None, :], sim, NEG_INF)
+        vals = jax.lax.top_k(simg, k)[0]                  # [P, k] desc
+        rmax = vals[:, 0]
+        z = jnp.sum(jnp.exp(vals - rmax[:, None]), axis=-1)
+        taus.append(vals[:, -1])
+        rmaxs.append(rmax)
+        invzs.append(1.0 / z)
+    tau = jnp.stack(taus, axis=1)                         # [P, G]
+    rmax = jnp.stack(rmaxs, axis=1)
+    invz = jnp.stack(invzs, axis=1)
+
+    # pad to tile multiples
+    pp, nn = _round_up(p, BQ), _round_up(n, BN)
+    pad_q, pad_n = pp - p, nn - n
+
+    sim_p = jnp.pad(sim, ((0, pad_q), (0, pad_n)), constant_values=-jnp.inf)
+    v_p = jnp.pad(values, ((0, 0), (0, pad_n), (0, 0))).astype(jnp.float32)
+    valid_p = jnp.pad(valid, ((0, 0), (0, pad_n))).astype(jnp.float32)
+    qvalid = (jnp.arange(pp) < p).astype(jnp.float32)[:, None]
+    tau_p = jnp.pad(tau, ((0, pad_q), (0, 0)), constant_values=jnp.inf)
+    rmax_p = jnp.pad(rmax, ((0, pad_q), (0, 0)))
+    invz_p = jnp.pad(invz, ((0, pad_q), (0, 0)))
+
+    kernel = _make_kernel(nn // BN, g, tuple(int(x) for x in group_ids), cv)
+
+    out, usage = pl.pallas_call(
+        kernel,
+        grid=(pp // BQ, nn // BN),
+        in_specs=[
+            pl.BlockSpec((BQ, BN), lambda i, j: (i, j)),         # sim
+            pl.BlockSpec((o, BN, cv), lambda i, j: (0, j, 0)),   # values
+            pl.BlockSpec((g, BN), lambda i, j: (0, j)),          # valid
+            pl.BlockSpec((BQ, g), lambda i, j: (i, 0)),          # tau
+            pl.BlockSpec((BQ, g), lambda i, j: (i, 0)),          # rmax
+            pl.BlockSpec((BQ, g), lambda i, j: (i, 0)),          # 1/Z
+            pl.BlockSpec((BQ, 1), lambda i, j: (i, 0)),          # qvalid
+        ],
+        out_specs=[
+            pl.BlockSpec((BQ, o * cv), lambda i, j: (i, 0)),     # readout
+            pl.BlockSpec((1, BN), lambda i, j: (0, j)),          # usage
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((pp, o * cv), jnp.float32),
+            jax.ShapeDtypeStruct((1, nn), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BQ, o * cv), jnp.float32),               # acc
+        ],
+        interpret=interpret,
+    )(sim_p, v_p, valid_p, tau_p, rmax_p, invz_p, qvalid)
+
+    readout = out[:p].reshape(p, o, cv).transpose(1, 0, 2)       # [O, P, Cv]
+    return readout, usage[0, :n]
