@@ -28,9 +28,11 @@ def conv2d(
     stride: Union[int, Tuple[int, int]] = 1,
     padding: Union[int, Tuple[int, int]] = 0,
     dilation: Union[int, Tuple[int, int]] = 1,
+    groups: int = 1,
     dtype=None,
 ) -> jnp.ndarray:
-    """2D convolution. x: [N, H, W, Cin], params['weight']: [kh, kw, Cin, Cout]."""
+    """2D convolution. x: [N, H, W, Cin], params['weight']: [kh, kw, Cin/groups, Cout].
+    groups > 1 gives grouped/depthwise convolution (torch groups semantics)."""
     if isinstance(stride, int):
         stride = (stride, stride)
     if isinstance(padding, int):
@@ -47,6 +49,7 @@ def conv2d(
         padding=[(padding[0], padding[0]), (padding[1], padding[1])],
         rhs_dilation=dilation,
         dimension_numbers=_CONV_DIMS,
+        feature_group_count=groups,
         preferred_element_type=jnp.float32,
         precision=_PRECISION,
     )
@@ -134,10 +137,11 @@ def avg_pool(x: jnp.ndarray, window: int, stride: Optional[int] = None) -> jnp.n
     return (s / (window * window)).astype(x.dtype)
 
 
-def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
-    """Bilinear resize, half-pixel centers, no antialiasing — matches torch
-    F.interpolate(mode='bilinear', align_corners=False) for both up and down
-    scaling (jax.image.resize antialiases on downscale, so we hand-roll).
+def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int],
+                    align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear resize matching torch F.interpolate(mode='bilinear') for both
+    align_corners conventions, no antialiasing (jax.image.resize antialiases
+    on downscale, so we hand-roll).
 
     x: [..., H, W, C].
     """
@@ -149,8 +153,12 @@ def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     x32 = x.astype(jnp.float32)
 
     def axis_weights(in_size, out_size):
-        scale = in_size / out_size
-        coord = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+        if align_corners:
+            scale = (in_size - 1) / max(out_size - 1, 1)
+            coord = jnp.arange(out_size, dtype=jnp.float32) * scale
+        else:
+            scale = in_size / out_size
+            coord = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
         coord = jnp.clip(coord, 0.0, in_size - 1)
         lo = jnp.floor(coord).astype(jnp.int32)
         hi = jnp.minimum(lo + 1, in_size - 1)
