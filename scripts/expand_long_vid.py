@@ -1,0 +1,44 @@
+"""Ping-pong video multiplier for long-video stress tests
+(reference scripts/expand_long_vid.py:1-36).
+
+Usage: python scripts/expand_long_vid.py <input> <output> <multiplier>
+Input layout: <input>/JPEGImages/<vid>/*.jpg, <input>/Annotations/<vid>/*.png
+"""
+
+import os
+import sys
+from os import path
+from shutil import copy2
+
+
+def expand(input_path, output_path, multiplier):
+    image_path = path.join(input_path, 'JPEGImages')
+    gt_path = path.join(input_path, 'Annotations')
+
+    for vid in sorted(os.listdir(image_path)):
+        os.makedirs(path.join(output_path, 'JPEGImages', vid), exist_ok=True)
+        os.makedirs(path.join(output_path, 'Annotations', vid), exist_ok=True)
+        frames = sorted(os.listdir(path.join(image_path, vid)))
+
+        counter = 0
+        output_counter = 0
+        direction = 1
+        for _ in range(multiplier):
+            for _ in range(len(frames)):
+                copy2(path.join(image_path, vid, frames[counter]),
+                      path.join(output_path, 'JPEGImages', vid,
+                                f'{output_counter:05d}.jpg'))
+                mask_path = path.join(gt_path, vid,
+                                      frames[counter].replace('.jpg', '.png'))
+                if path.exists(mask_path):
+                    copy2(mask_path,
+                          path.join(output_path, 'Annotations', vid,
+                                    f'{output_counter:05d}.png'))
+                counter += direction
+                output_counter += 1
+                if counter == 0 or counter == len(frames) - 1:
+                    direction *= -1
+
+
+if __name__ == '__main__':
+    expand(sys.argv[1], sys.argv[2], int(sys.argv[3]))

@@ -17,6 +17,47 @@ import numpy as np
 from PIL import Image
 
 
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def pool_pairs(images: dict, size, num_objects) -> np.ndarray:
+    """Training montage: RGB / predicted masks / GT per (sample, frame) grid
+    (reference util/image_saver.py:112-144). `images` is a train batch dict
+    plus 'masks_<ti>' predictions; returns an HxWx3 uint8 array for
+    tensorboard logging."""
+    from PIL import Image as PILImage
+
+    b = min(2, images['rgb'].shape[0])
+    t = images['rgb'].shape[1]
+    max_num_objects = max(num_objects[:b])
+    h, w = size
+
+    def to_img(x):
+        x = np.asarray(x, np.float32)
+        if x.ndim == 3:                           # [H, W, 3] normalized rgb
+            x = x * IMAGENET_STD + IMAGENET_MEAN
+        else:                                     # [H, W] mask
+            x = np.repeat(x[..., None], 3, -1)
+        x = (np.clip(x, 0, 1) * 255).astype(np.uint8)
+        return np.asarray(PILImage.fromarray(x).resize((w, h), PILImage.NEAREST))
+
+    rows = []
+    for bi in range(b):
+        for oi in range(max_num_objects):
+            row = []
+            for ti in range(t):
+                rgb = to_img(images['rgb'][bi, ti])
+                if ti == 0 or oi >= num_objects[bi]:
+                    mask = to_img(images['first_frame_gt'][bi][0, oi])
+                else:
+                    mask = to_img(np.asarray(images[f'masks_{ti}'])[bi][oi])
+                gt = to_img((images['cls_gt'][bi, ti] == (oi + 1)).astype(np.float32))
+                row.append(np.concatenate([rgb, mask, gt], axis=0))
+            rows.append(np.concatenate(row, axis=1))
+    return np.concatenate(rows, axis=0)
+
+
 def _check_if_black_and_white(mask_rgb: Image.Image) -> bool:
     colors = mask_rgb.getcolors()
     if colors is None or len(colors) > 2:
