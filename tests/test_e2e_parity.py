@@ -118,6 +118,118 @@ def run_ours(names, shapes, sd, samples, msk0, labels):
     return outs
 
 
+CAPS = '/root/reference/example_videos/caps'
+
+
+def _run_caps(side, sd, samples, masks_by_ti, labels_by_ti):
+    """Drive either pipeline through the caps flow: permanent-memory preload
+    of the annotated frames (object 2 appears at the second one), then steps
+    with do_not_add_mask_to_memory on annotated frames — the XMem++ multi-
+    annotation path of run_on_video (_inference_on_video :59-108)."""
+    cfg = dict(CFG)
+    cfg['max_mid_term_frames'] = 100  # keep long-term out: the reference's
+    # multi-group long-term suffix alignment is a documented deviation
+    annotated = sorted(masks_by_ti)
+
+    if side == 'ref':
+        from model.network import XMem
+        import inference.inference_core as ric
+        net = XMem(dict(cfg), None, pretrained_key_encoder=False,
+                   pretrained_value_encoder=False).eval()
+        full = dict(net.state_dict())
+        for k, v in sd.items():
+            full[k] = torch.from_numpy(v)
+        net.load_state_dict(full)
+        orig_zeros = torch.zeros
+        torch.zeros = lambda *a, **k: orig_zeros(
+            *a, **{kk: vv for kk, vv in k.items() if kk != 'device'})
+        try:
+            proc = ric.InferenceCore(net, config=dict(cfg))
+        finally:
+            torch.zeros = orig_zeros
+
+        def to_img(s):
+            return torch.from_numpy(np.moveaxis(s.rgb, -1, 0).copy())
+
+        def to_mask(m):
+            return torch.from_numpy(m)
+    else:
+        from xmem2_tpu.bridge.torch_params import convert_state_dict
+        from xmem2_tpu.inference.core import InferenceCore
+        from xmem2_tpu.inference.net import XMemNet
+        proc = InferenceCore(XMemNet(convert_state_dict(sd)), config=dict(cfg))
+
+        def to_img(s):
+            return jnp.asarray(s.rgb)
+
+        def to_mask(m):
+            return jnp.asarray(m)
+
+    import contextlib
+    ctx = torch.no_grad() if side == 'ref' else contextlib.nullcontext()
+    final_labels = labels_by_ti[annotated[-1]]
+    with ctx:
+        # preload uses progressively-known labels (run_on_video preload order)
+        for ti in annotated:
+            proc.set_all_labels(labels_by_ti[ti])
+            proc.put_to_permanent_memory(to_img(samples[ti]),
+                                         to_mask(masks_by_ti[ti][0]), ti=ti)
+        outs = []
+        for ti, s in enumerate(samples):
+            if ti in masks_by_ti:
+                # in run_on_video the stateful MaskMapper has seen every
+                # label by loop time, so masks carry ALL channels
+                proc.set_all_labels(final_labels)
+                prob = proc.step(to_img(s), to_mask(masks_by_ti[ti][1]),
+                                 final_labels,
+                                 end=(ti == len(samples) - 1),
+                                 do_not_add_mask_to_memory=True)
+            else:
+                prob = proc.step(to_img(s), end=(ti == len(samples) - 1))
+            outs.append(np.asarray(prob) if side != 'ref' else prob.numpy())
+    return outs
+
+
+@pytest.mark.slow
+def test_caps_multiobject_parity():
+    """2-object permanent-memory path with a late-appearing object group."""
+    from xmem2_tpu.inference.data.video_reader import VideoReader
+    from xmem2_tpu.inference.data.mask_mapper import MaskMapper
+    reader = VideoReader('', f'{CAPS}/JPEGImages', f'{CAPS}/Annotations',
+                         size=SIZE, use_all_masks=True)
+    sample_idx = list(range(0, 40, 3)) + [33]
+    sample_idx = sorted(set(sample_idx))
+    samples = {i: reader[i] for i in sample_idx}
+    samples = [samples[i] for i in sample_idx]
+    # reindex: positions in `samples`, with annotations at 0 and frame 33
+    ann_positions = {sample_idx.index(0): 0, sample_idx.index(33): 33}
+
+    mapper = MaskMapper()
+    masks_by_ti, labels_by_ti = {}, {}
+    for pos, orig in sorted(ann_positions.items()):
+        m, _ = mapper.convert_mask(samples[pos].mask, exhaustive=True)
+        m = reader.resize_mask(m)
+        masks_by_ti[pos] = [m]  # [preload version, loop version]
+        labels_by_ti[pos] = list(mapper.remappings.values())
+    # loop-phase masks: re-converted once every label is known (full channels)
+    final_mapper = MaskMapper()
+    for pos, orig in sorted(ann_positions.items()):
+        final_mapper.convert_mask(samples[pos].mask, exhaustive=True)
+    for pos, orig in sorted(ann_positions.items()):
+        m2, _ = final_mapper.convert_mask(samples[pos].mask, exhaustive=True)
+        masks_by_ti[pos].append(reader.resize_mask(m2))
+
+    names, shapes, sd = build_synth_params()
+    ref = _run_caps('ref', sd, samples, masks_by_ti, labels_by_ti)
+    ours = _run_caps('ours', sd, samples, masks_by_ti, labels_by_ti)
+
+    for ti, (r, o) in enumerate(zip(ref, ours)):
+        assert r.shape == o.shape, f'frame {ti}: {r.shape} vs {o.shape}'
+        assert not np.isnan(o).any() and not np.isnan(r).any(), f'frame {ti}'
+        disagree = float((np.argmax(r, 0) != np.argmax(o, 0)).mean())
+        assert disagree < 0.002, f'frame {ti}: argmax disagreement {disagree}'
+
+
 @pytest.mark.slow
 def test_pipeline_parity(frames_and_mask):
     samples, msk0, labels = frames_and_mask
