@@ -17,7 +17,7 @@ sys.path.insert(0, '/root/reference')
 torch = pytest.importorskip('torch')
 
 CHAIR = '/root/reference/example_videos/chair'
-N_FRAMES = 22
+N_FRAMES = 16
 SIZE = 144
 
 CFG = {
@@ -197,7 +197,7 @@ def test_caps_multiobject_parity():
     from xmem2_tpu.inference.data.mask_mapper import MaskMapper
     reader = VideoReader('', f'{CAPS}/JPEGImages', f'{CAPS}/Annotations',
                          size=SIZE, use_all_masks=True)
-    sample_idx = list(range(0, 40, 3)) + [33]
+    sample_idx = list(range(0, 40, 5)) + [33]
     sample_idx = sorted(set(sample_idx))
     samples = {i: reader[i] for i in sample_idx}
     samples = [samples[i] for i in sample_idx]
