@@ -1,0 +1,67 @@
+"""eval.py CLI smoke: generic-dataset evaluation end-to-end — palette PNG
+outputs, FPS report, score dumps for merge_multi_scale."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+CHAIR = '/root/reference/example_videos/chair'
+
+
+@pytest.fixture(scope='module')
+def mini_generic(tmp_path_factory):
+    root = tmp_path_factory.mktemp('generic')
+    img_dir = root / 'JPEGImages' / 'chair'
+    ann_dir = root / 'Annotations' / 'chair'
+    img_dir.mkdir(parents=True)
+    ann_dir.mkdir(parents=True)
+    for i in range(5):
+        src = Path(CHAIR) / 'JPEGImages' / f'frame_{i:06d}.jpg'
+        (img_dir / src.name).write_bytes(src.read_bytes())
+    src = Path(CHAIR) / 'Annotations' / 'frame_000000.png'
+    (ann_dir / src.name).write_bytes(src.read_bytes())
+
+    ckpt = root / 'synth.npz'
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from xmem2_tpu.models.init import init_params
+    from xmem2_tpu.bridge.torch_params import save_params
+    p = init_params(seed=0)
+    p.tree['key_proj']['key_proj']['weight'] = \
+        p.tree['key_proj']['key_proj']['weight'] * 0.01
+    p.tree['key_proj']['d_proj']['weight'] = \
+        p.tree['key_proj']['d_proj']['weight'] * 0.01
+    save_params(p, str(ckpt))
+    return root, ckpt
+
+
+@pytest.mark.slow
+def test_eval_generic(mini_generic, tmp_path):
+    root, ckpt = mini_generic
+    out = tmp_path / 'out'
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    r = subprocess.run(
+        [sys.executable, 'eval.py', '--dataset', 'G',
+         '--generic_path', str(root), '--model', str(ckpt),
+         '--output', str(out), '--size', '144', '--save_all', '--save_scores',
+         '--compute_dtype', 'float32'],
+        capture_output=True, text=True, timeout=500,
+        cwd=str(Path(__file__).parent.parent), env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert 'FPS' in r.stdout
+
+    masks = sorted((out / 'Annotations' / 'chair').glob('*.png')) \
+        if (out / 'Annotations').exists() else sorted((out / 'chair').glob('*.png'))
+    assert len(masks) == 5, r.stdout
+    m = Image.open(masks[0])
+    assert m.mode == 'P'
+    assert np.array(m).shape == (480, 720)  # saved at original size
+
+    scores = sorted((out / 'Scores' / 'chair').glob('*.npz'))
+    assert len(scores) == 5
+    with np.load(scores[0]) as z:
+        assert z['prob'].ndim == 3
