@@ -1,11 +1,20 @@
 """API usage examples (parity with reference main.py:5-43)."""
 
+import os
+
 from xmem2_tpu.inference.run_on_video import (
     run_on_video, select_k_next_best_annotation_candidates)
 
+# example videos ship with the reference distribution; override with
+# XMEM2_EXAMPLES if they live elsewhere
+EXAMPLES = os.environ.get(
+    'XMEM2_EXAMPLES',
+    'example_videos' if os.path.exists('example_videos')
+    else '/root/reference/example_videos')
+
 if __name__ == '__main__':
-    video_frames_path = 'example_videos/caps/JPEGImages'
-    video_masks_path = 'example_videos/caps/Annotations'
+    video_frames_path = f'{EXAMPLES}/caps/JPEGImages'
+    video_masks_path = f'{EXAMPLES}/caps/Annotations'
     output_masks_path_baseline = 'output/example_video_caps/baseline'
     output_masks_path_three_frames = 'output/example_video_caps/three_frames'
 
@@ -25,7 +34,7 @@ if __name__ == '__main__':
 
     # IoU sanity check on a fully-annotated video
     stats = run_on_video(
-        'example_videos/chair/JPEGImages', 'example_videos/chair/Annotations',
+        f'{EXAMPLES}/chair/JPEGImages', f'{EXAMPLES}/chair/Annotations',
         'output/example_video_chair/three_frames_with_iou',
         frames_with_masks=[5, 10, 15], compute_iou=True, print_progress=False)
     ious = stats[stats['iou'] >= 0]['iou']
