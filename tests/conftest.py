@@ -1,5 +1,11 @@
 """Test environment: force CPU with 8 virtual devices so multi-chip sharding
-logic is exercised without TPU hardware. Must run before jax is imported."""
+logic is exercised without TPU hardware.
+
+XLA_FLAGS must be set before the first backend init. JAX_PLATFORMS env alone
+is NOT enough here: the machine's sitecustomize (axon TPU tunnel) imports jax
+at interpreter startup and calls jax.config.update('jax_platforms',
+'axon,cpu'), which overrides the env var — so we re-update the config after
+import."""
 
 import os
 
@@ -9,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib  # noqa: E402
 

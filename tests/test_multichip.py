@@ -1,0 +1,116 @@
+"""Multi-device data-parallel training tests on the 8-virtual-CPU-device mesh
+provisioned by conftest.py.
+
+Validates the TPU-native replacement for the reference's DDP/NCCL layer
+(reference train.py:25, model/trainer.py:28-30): batch sharded over the
+'data' mesh axis, parameters replicated, gradient all-reduce inserted by XLA.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from xmem2_tpu.models.init import init_params
+from xmem2_tpu.parallel.mesh import (
+    data_sharding, make_mesh, replicated, shard_batch)
+from xmem2_tpu.train.trainer import XMemTrainer
+
+CONFIG = {
+    'num_frames': 3, 'num_ref_frames': 2, 'deep_update_prob': 0.2,
+    'hidden_dim': 64, 'start_warm': 2000, 'end_warm': 7000,
+    'lr': 1e-5, 'weight_decay': 0.05, 'steps': [10], 'gamma': 0.1,
+}
+
+
+def synth_batch(b, t=3, h=64, w=96, n_obj=2, seed=0):
+    rng = np.random.default_rng(seed)
+    ffg = np.zeros((b, 1, n_obj, h, w), np.float32)
+    ffg[:, 0, 0, 8:24, 8:24] = 1
+    ffg[:, 0, 1, 32:48, 32:48] = 1
+    cls_gt = np.zeros((b, t, h, w), np.int32)
+    cls_gt[:, :, 8:24, 8:24] = 1
+    cls_gt[:, :, 32:48, 32:48] = 2
+    return {
+        'rgb': rng.standard_normal((b, t, h, w, 3)).astype(np.float32),
+        'first_frame_gt': ffg,
+        'selector': np.ones((b, n_obj), np.float32),
+        'cls_gt': cls_gt,
+    }
+
+
+@pytest.fixture(scope='module')
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices (conftest sets XLA_FLAGS)')
+    return make_mesh(8)
+
+
+class TestMeshHelpers:
+    def test_make_mesh_shape(self, mesh8):
+        assert mesh8.shape == {'data': 8}
+        assert mesh8.axis_names == ('data',)
+
+    def test_shard_batch_splits_batch_dim(self, mesh8):
+        batch = shard_batch(mesh8, synth_batch(b=8))
+        rgb = batch['rgb']
+        assert len(rgb.sharding.device_set) == 8
+        # each device holds exactly one batch row
+        assert {s.data.shape[0] for s in rgb.addressable_shards} == {1}
+        # non-array entries pass through untouched
+        batch2 = shard_batch(mesh8, {'rgb': synth_batch(b=8)['rgb'],
+                                     'info': 'meta'})
+        assert batch2['info'] == 'meta'
+
+    def test_sharding_constructors(self, mesh8):
+        assert not data_sharding(mesh8).is_fully_replicated
+        assert replicated(mesh8).is_fully_replicated
+
+
+class TestDataParallelTrainer:
+    def test_do_pass_on_8dev_mesh(self, mesh8):
+        """One real DP step: finite loss, sharded batch, replicated params,
+        and params actually changed (the optimizer update ran)."""
+        params = init_params(seed=0)
+        before = np.asarray(jax.tree.leaves(params.tree)[0]).copy()
+        trainer = XMemTrainer(CONFIG, params, mesh=mesh8)
+
+        # params land replicated across the full mesh
+        leaf = jax.tree.leaves(trainer.state.params.tree)[0]
+        assert leaf.sharding.is_fully_replicated
+        assert len(leaf.sharding.device_set) == 8
+
+        batch = shard_batch(mesh8, synth_batch(b=8))
+        assert len(batch['rgb'].sharding.device_set) == 8
+
+        aux = trainer.do_pass(batch, it=0)
+        loss = float(aux['total_loss'])
+        assert np.isfinite(loss)
+
+        # updated params: still replicated, and different from the init
+        leaf2 = jax.tree.leaves(trainer.state.params.tree)[0]
+        assert leaf2.sharding.is_fully_replicated
+        assert len(leaf2.sharding.device_set) == 8
+        assert not np.allclose(np.asarray(leaf2), before)
+
+    def test_mesh_matches_single_device(self, mesh8):
+        """The 8-way sharded step computes the same loss as the unsharded
+        step on identical data+rng — sharding must not change semantics."""
+        batch = synth_batch(b=8, seed=3)
+        rng = jax.random.PRNGKey(7)
+
+        t_single = XMemTrainer(CONFIG, init_params(seed=0))
+        aux_single = t_single.do_pass(batch, it=0, rng=rng)
+
+        t_mesh = XMemTrainer(CONFIG, init_params(seed=0), mesh=mesh8)
+        aux_mesh = t_mesh.do_pass(batch, it=0, rng=rng)
+
+        np.testing.assert_allclose(
+            float(aux_mesh['total_loss']), float(aux_single['total_loss']),
+            rtol=2e-4)
+
+    def test_do_pass_host_numpy_batch(self, mesh8):
+        """do_pass shards a plain host numpy batch itself (the
+        DistributedSampler + .cuda() path of the reference)."""
+        trainer = XMemTrainer(CONFIG, init_params(seed=0), mesh=mesh8)
+        aux = trainer.do_pass(synth_batch(b=8, seed=1), it=0)
+        assert np.isfinite(float(aux['total_loss']))

@@ -33,12 +33,39 @@ class ConcatDataset:
         return self.datasets[di][idx - prev]
 
 
+def maybe_init_distributed():
+    """Multi-host bootstrap — the torchrun/init_process_group analog
+    (reference train.py:25). Each host runs this same script; JAX wires the
+    hosts together so jax.devices() spans the whole pod.
+
+    Triggered by XMEM2_DIST=1 (TPU pods: jax.distributed.initialize()
+    auto-detects the coordinator) or by explicit JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars (CPU/GPU clusters)."""
+    import os
+
+    import jax
+
+    addr = os.environ.get('JAX_COORDINATOR_ADDRESS')
+    if os.environ.get('XMEM2_DIST') == '1' and addr is None:
+        jax.distributed.initialize()
+    elif addr is not None:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ['JAX_NUM_PROCESSES']),
+            process_id=int(os.environ['JAX_PROCESS_ID']))
+    else:
+        return False
+    print(f'jax.distributed initialized: process {jax.process_index()} '
+          f'of {jax.process_count()}')
+    return True
+
+
 def main():
     import jax
-    from jax.sharding import Mesh
 
     from xmem2_tpu.bridge.torch_params import load_any
     from xmem2_tpu.models.init import init_params
+    from xmem2_tpu.parallel.mesh import make_mesh
     from xmem2_tpu.train.loader import DataLoader
     from xmem2_tpu.train.static_dataset import StaticTransformDataset
     from xmem2_tpu.train.trainer import XMemTrainer
@@ -46,12 +73,14 @@ def main():
     from xmem2_tpu.utils.load_subset import load_sub_davis, load_sub_yv
     from xmem2_tpu.utils.logger import TensorboardLogger
 
+    maybe_init_distributed()
+
     raw_config = Configuration()
     raw_config.parse()
 
-    devices = jax.devices()
+    devices = jax.devices()  # global across hosts after distributed init
     world_size = len(devices)
-    mesh = Mesh(np.array(devices), ('data',))
+    mesh = make_mesh()
     print(f'Data-parallel mesh over {world_size} device(s): {devices}')
 
     network_in_memory = None

@@ -179,7 +179,11 @@ class XMemTrainer:
         self.optimizer = make_optimizer(config)
         self.mesh = mesh
         self.step_fn = make_train_step(config, self.optimizer, mesh, dtype)
-        params = jax.device_put(params)  # pin weights on-device once
+        if mesh is None:
+            params = jax.device_put(params)  # pin weights on-device once
+        else:
+            from xmem2_tpu.parallel.mesh import replicated
+            params = jax.device_put(params, replicated(mesh))
         self.state = TrainState(
             params=params,
             opt_state=self.optimizer.init(params.tree),
@@ -194,6 +198,9 @@ class XMemTrainer:
         'selector' [B,O], 'cls_gt' [B,T,H,W]."""
         if rng is None:
             rng = jax.random.PRNGKey(it)
+        if self.mesh is not None:
+            from xmem2_tpu.parallel.mesh import shard_batch
+            data = shard_batch(self.mesh, data)
         self.state, aux = self.step_fn(
             self.state, jnp.asarray(data['rgb']),
             jnp.asarray(data['first_frame_gt']),
