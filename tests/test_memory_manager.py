@@ -224,3 +224,46 @@ class TestMultiGroup:
             qk, qs, qe, _ = frame_data(rng, 2)
             np.testing.assert_allclose(ours.match(qk, qe), ref.match(qk, qe),
                                        rtol=1e-3, atol=1e-3, err_msg=f'frame {ti}')
+
+
+class TestFusedReadoutPath:
+    """The Pallas production readout (interpret mode on CPU) must reproduce
+    the jnp path through the full manager life-cycle: permanent preload,
+    consolidation, long-term usage, multi-group."""
+
+    def _fused_vs_jnp(self, monkeypatch, cfg, n_frames, permanent_frames=(),
+                      n_obj=2, atol=1e-4):
+        monkeypatch.setenv('XMEM2_FUSED_READOUT', '0')
+        _, _, _, jnp_outs = run_sequence(cfg, n_frames, n_obj=n_obj,
+                                         permanent_frames=permanent_frames)
+        monkeypatch.setenv('XMEM2_FUSED_READOUT', 'interpret')
+        _, _, ref_outs, fused_outs = run_sequence(
+            cfg, n_frames, n_obj=n_obj, permanent_frames=permanent_frames)
+        for i, (a, b) in enumerate(zip(fused_outs, jnp_outs)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=atol,
+                                       err_msg=f'fused vs jnp, frame {i}')
+        # and both still track the torch reference
+        for i, (a, r) in enumerate(zip(fused_outs, ref_outs)):
+            np.testing.assert_allclose(a, r, rtol=1e-3, atol=1e-3,
+                                       err_msg=f'fused vs torch, frame {i}')
+
+    def test_working_and_permanent(self, monkeypatch):
+        cfg = make_config(max_mid_term_frames=100)
+        self._fused_vs_jnp(monkeypatch, cfg, 4, permanent_frames=(0,))
+
+    def test_with_consolidation_and_long_term(self, monkeypatch):
+        cfg = make_config()
+        self._fused_vs_jnp(monkeypatch, cfg, 8, permanent_frames=(0,))
+
+    def test_usage_counters_match_jnp(self, monkeypatch):
+        cfg = make_config(max_mid_term_frames=100)
+        monkeypatch.setenv('XMEM2_FUSED_READOUT', '0')
+        _, ours_jnp, *_ = run_sequence(cfg, 4)
+        monkeypatch.setenv('XMEM2_FUSED_READOUT', 'interpret')
+        _, ours_fused, *_ = run_sequence(cfg, 4)
+        np.testing.assert_allclose(
+            np.asarray(ours_fused.mm.temp.use_count),
+            np.asarray(ours_jnp.mm.temp.use_count), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(ours_fused.mm.temp.life_count),
+            np.asarray(ours_jnp.mm.temp.life_count), rtol=1e-5, atol=1e-6)

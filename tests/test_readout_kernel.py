@@ -57,6 +57,39 @@ def test_matches_jnp(n, p, o, g, gids):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize('seg_ns,o,g,gids', [
+    ((500, 300), 1, 1, (0,)),
+    ((700, 260, 140), 2, 1, (0, 0)),
+    ((600, 200, 300), 3, 2, (0, 0, 1)),
+    ((40, 900), 2, 2, (0, 1)),     # one segment smaller than top_k
+])
+def test_multi_segment_matches_concat(seg_ns, o, g, gids):
+    """fused_topk_readout_multi over split segments == the jnp path over the
+    concatenation (the production [long|temp|perm] layout)."""
+    from xmem2_tpu.ops.readout_kernel import fused_topk_readout_multi
+
+    n = sum(seg_ns)
+    p, top_k = 130, 30
+    mk, ms, qk, qe, values, valid = make_case(7, n, p, o, g, invalid_tail=23)
+    ref_read, ref_usage = jnp_reference(mk, ms, qk, qe, values, valid, gids,
+                                        top_k)
+
+    segments = []
+    off = 0
+    for sn in seg_ns:
+        segments.append((mk[off:off + sn], ms[off:off + sn],
+                         values[:, off:off + sn], valid[:, off:off + sn]))
+        off += sn
+    got_read, usages = fused_topk_readout_multi(segments, qk, qe, gids, top_k,
+                                                interpret=True)
+    got_usage = jnp.concatenate(usages, axis=-1)
+
+    np.testing.assert_allclose(np.asarray(got_read), np.asarray(ref_read),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(got_usage), np.asarray(ref_usage),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_tiny_memory_degenerates_to_full_softmax():
     mk, ms, qk, qe, values, valid = make_case(1, 20, 40, 1, 1)
     ref_read, ref_usage = jnp_reference(mk, ms, qk, qe, values, valid, (0,), 30)

@@ -120,27 +120,67 @@ def rgb_with_clicks(params: Dict, image: jnp.ndarray, coord_features: jnp.ndarra
     return F.conv2d(x, p['3'], dtype=dtype)
 
 
-def head_input(params: Dict, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
-    """'after_aspp' features for f-BRS-B (brs.py:121-141): backbone -> aspp
-    upsampled to c1 -> concat skip-projected c1. x: rgb_conv output."""
+def backbone_features(params: Dict, x: jnp.ndarray, dtype=None):
+    """(skip-projected c1, c4) — the f-BRS-A insertion operands
+    (reference brs.py:126-137). x: rgb_conv output."""
     fe = params['feature_extractor']
     c1, c4 = _backbone_v1s(x, fe['backbone'], dtype=dtype)
     c1 = _bn_relu(F.conv2d(c1, fe['skip_project']['skip_project']['0'],
                            dtype=dtype),
                   fe['skip_project']['skip_project']['1'])
+    return c1, c4
+
+
+def aspp_concat(params: Dict, c4: jnp.ndarray, c1: jnp.ndarray, dtype=None
+                ) -> jnp.ndarray:
+    """aspp(c4) upsampled to c1 + concat — yields 'after_aspp' features
+    (reference brs.py:94-99, 131-136)."""
+    fe = params['feature_extractor']
     a = _aspp(c4, fe['aspp'], dtype=dtype)
     a = F.resize_bilinear(a, c1.shape[1:3], align_corners=True)
     return jnp.concatenate([a, c1], axis=-1)     # [1, h, w, ch+32]
 
 
-def head_from_features(params: Dict, feats: jnp.ndarray, out_hw, dtype=None
-                       ) -> jnp.ndarray:
-    """features -> logits at out_hw (deeplab head + SepConvHead + upsample)."""
-    fe = params['feature_extractor']
-    x = _deeplab_head(feats, fe['head'], dtype=dtype)
+def head_input(params: Dict, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """'after_aspp' features for f-BRS-B (brs.py:121-141). x: rgb_conv out."""
+    c1, c4 = backbone_features(params, x, dtype=dtype)
+    return aspp_concat(params, c4, c1, dtype=dtype)
+
+
+def deeplab_head(params: Dict, feats: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """'after_aspp' -> 'after_deeplab' features (feature_extractor.head)."""
+    return _deeplab_head(feats, params['feature_extractor']['head'],
+                         dtype=dtype)
+
+
+def logits_from_deeplab(params: Dict, x: jnp.ndarray, out_hw, dtype=None
+                        ) -> jnp.ndarray:
+    """'after_deeplab' features -> logits at out_hw (SepConvHead + upsample,
+    the f-BRS-C prediction path, brs.py:101-104)."""
     x = _sep_conv_head(x, params['head'], dtype=dtype)
     return F.resize_bilinear(x.astype(jnp.float32), tuple(out_hw),
                              align_corners=True)
+
+
+def head_from_features(params: Dict, feats: jnp.ndarray, out_hw, dtype=None
+                       ) -> jnp.ndarray:
+    """features -> logits at out_hw (deeplab head + SepConvHead + upsample)."""
+    return logits_from_deeplab(params, deeplab_head(params, feats, dtype=dtype),
+                               out_hw, dtype=dtype)
+
+
+def num_deeplab_channels(params: Dict) -> int:
+    """ch of the DeepLabV3Plus (reference deeplab_v3.py:27) from the ASPP
+    projection conv (HWIO layout: last dim = out channels)."""
+    return int(params['feature_extractor']['aspp']['project']['0']
+               ['weight'].shape[-1])
+
+
+def num_c4_channels(params: Dict) -> int:
+    """aspp_in_channels (reference deeplab_v3.py:28-33) from the first ASPP
+    branch conv input dim."""
+    return int(params['feature_extractor']['aspp']['concurent']['0']['0']
+               ['weight'].shape[-2])
 
 
 def forward(params: Dict, image: jnp.ndarray, coord_features: jnp.ndarray,

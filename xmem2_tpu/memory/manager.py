@@ -33,6 +33,7 @@ Known deviations (documented, both reference bugs we do not replicate):
 """
 
 import math
+import os
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -52,12 +53,14 @@ from xmem2_tpu.ops.similarity import (
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=('group_ids', 'top_k', 'use_long',
-                                   'count_usage', 'count_long_usage'))
+                                   'count_usage', 'count_long_usage',
+                                   'fused', 'interpret'))
 def _match_kernel(temp: StoreBuffers, perm: StoreBuffers,
                   long: Optional[StoreBuffers],
                   qk: jnp.ndarray, qe: Optional[jnp.ndarray],
                   *, group_ids: Tuple[int, ...], top_k: int, use_long: bool,
-                  count_usage: bool, count_long_usage: bool):
+                  count_usage: bool, count_long_usage: bool,
+                  fused: bool = False, interpret: bool = False):
     """Memory readout across [long | temp | perm] with per-group top-k softmax.
 
     qk/qe: [HW, Ck]. Returns (readout [O, HW, Cv], temp', long').
@@ -65,16 +68,28 @@ def _match_kernel(temp: StoreBuffers, perm: StoreBuffers,
     computed once over the concatenation, each object group softmaxes over its
     own valid subset, usage is recorded for temp (and long when enabled) from
     the group-0 affinity.
-    """
-    sims = []
-    valids = []  # per segment: [G, cap]
-    caps = []
 
+    fused=True streams the softmax+readout through the Pallas kernel
+    (ops/readout_kernel.py) — no dense [G, HW, N] affinity in HBM; the jnp
+    path below is the reference implementation and the CPU fallback.
+    """
     seg_stores = ([long] if use_long else []) + [temp, perm]
-    for s in seg_stores:
-        sims.append(get_similarity(s.key, s.shrinkage, qk, qe))
-        valids.append(s.val_valid & s.slot_valid()[None, :])
-        caps.append(s.capacity)
+    valids = [s.val_valid & s.slot_valid()[None, :] for s in seg_stores]
+
+    if fused:
+        from xmem2_tpu.ops.readout_kernel import fused_topk_readout_multi
+        segments = [(s.key, s.shrinkage, s.value, v)
+                    for s, v in zip(seg_stores, valids)]
+        out, usages = fused_topk_readout_multi(
+            segments, qk, qe, group_ids, top_k, interpret=interpret)
+        if use_long and count_long_usage:
+            long = ST.update_usage(long, usages[0])
+        if count_usage:
+            temp = ST.update_usage(temp, usages[1] if use_long else usages[0])
+        return out, temp, long
+
+    sims = [get_similarity(s.key, s.shrinkage, qk, qe) for s in seg_stores]
+    caps = [s.capacity for s in seg_stores]
 
     sim = jnp.concatenate(sims, axis=-1)              # [HW, N]
     valid = jnp.concatenate(valids, axis=-1)          # [G, N]
@@ -156,6 +171,22 @@ def _consolidate_kernel(temp: StoreBuffers, long: StoreBuffers,
                      proto_group_valid)
     temp = ST.remove_range(temp, jnp.int32(0), cand_end)
     return temp, long
+
+
+def _readout_mode() -> Tuple[bool, bool]:
+    """(fused, interpret) for the readout path.
+
+    XMEM2_FUSED_READOUT: 'auto' (default) = Pallas kernel on TPU, jnp path
+    elsewhere; '1' = force kernel; '0' = force jnp; 'interpret' = kernel in
+    interpret mode (CPU parity testing)."""
+    mode = os.environ.get('XMEM2_FUSED_READOUT', 'auto').lower()
+    if mode == '1':
+        return True, False
+    if mode == '0':
+        return False, False
+    if mode == 'interpret':
+        return True, True
+    return jax.default_backend() == 'tpu', False
 
 
 _evict_kernel = jax.jit(ST.evict_by_usage)
@@ -317,11 +348,13 @@ class MemoryManager:
         count_long_usage = (use_long and self.enable_long_term_usage
                             and not disable_usage_updates)
 
+        fused, interpret = _readout_mode()
         out, temp, long = _match_kernel(
             self.temp, self.perm, self.long if use_long else None,
             qk, qe,
             group_ids=self.group_ids, top_k=self.top_k, use_long=use_long,
-            count_usage=count_usage, count_long_usage=count_long_usage)
+            count_usage=count_usage, count_long_usage=count_long_usage,
+            fused=fused, interpret=interpret)
         if count_usage:
             self.temp = temp
         if count_long_usage:

@@ -17,6 +17,12 @@ Split of work here:
      (MXU), and group-0 usage accumulation. No dense affinity ever reaches
      HBM, no scatter, no per-group affinity copies.
 
+Production layout: memory lives in up to three fixed-capacity stores
+([long | temp | perm], xmem2_tpu/memory/manager.py). `fused_topk_readout_multi`
+takes the segments separately — the global top-k is the top-k of the
+per-segment top-k candidates, and the Pallas pass runs per segment with the
+shared softmax stats, so the big value buffers are never concatenated in HBM.
+
 Numerics: identical to the jnp reference path (ops/similarity.py) except on
 exact fp ties at the k-th similarity value — the kernel includes the whole
 tied set (weights then sum slightly above 1) while torch.topk picks an
@@ -26,7 +32,7 @@ duplicated long videos) and perturb weights by O(1/k).
 
 import functools
 import math
-from typing import Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -87,45 +93,14 @@ def _make_kernel(n_blocks: int, num_groups: int, group_ids: Tuple[int, ...],
     return kernel
 
 
-def fused_topk_readout(
-    mk: jnp.ndarray,           # [N, Ck]
-    ms: jnp.ndarray,           # [N]
-    qk: jnp.ndarray,           # [P, Ck]
-    qe: jnp.ndarray,           # [P, Ck] or None
-    values: jnp.ndarray,       # [O, N, Cv]
-    valid: jnp.ndarray,        # [G, N] bool
-    group_ids: Tuple[int, ...],
-    top_k: int,
-    interpret: bool = False,
-):
-    """Returns (readout [O, P, Cv] f32, usage [N] f32).
-
-    Equivalent to: per-group softmax_w_top over valid slots, per-object
-    readout, group-0 usage (the jnp path in ops/similarity.py)."""
-    from xmem2_tpu.ops.similarity import NEG_INF, get_similarity
-
-    p = qk.shape[0]
-    n = mk.shape[0]
+def _pallas_pass(sim, values, valid, tau, rmax, invz, group_ids, interpret):
+    """One streamed segment pass. sim [P,N], values [O,N,Cv], valid [G,N];
+    tau/rmax/invz [P,G] shared softmax stats. Returns (out [P,O*Cv] f32
+    partial readout, usage [N] f32 group-0 usage)."""
+    p, n = sim.shape
     o, _, cv = values.shape
     g = valid.shape[0]
 
-    # --- XLA prologue: dense similarity + per-group softmax stats ----------
-    sim = get_similarity(mk, ms, qk, qe)                  # [P, N] f32
-    k = min(top_k, n)
-    taus, rmaxs, invzs = [], [], []
-    for gi in range(g):
-        simg = jnp.where(valid[gi][None, :], sim, NEG_INF)
-        vals = jax.lax.top_k(simg, k)[0]                  # [P, k] desc
-        rmax = vals[:, 0]
-        z = jnp.sum(jnp.exp(vals - rmax[:, None]), axis=-1)
-        taus.append(vals[:, -1])
-        rmaxs.append(rmax)
-        invzs.append(1.0 / z)
-    tau = jnp.stack(taus, axis=1)                         # [P, G]
-    rmax = jnp.stack(rmaxs, axis=1)
-    invz = jnp.stack(invzs, axis=1)
-
-    # pad to tile multiples
     pp, nn = _round_up(p, BQ), _round_up(n, BN)
     pad_q, pad_n = pp - p, nn - n
 
@@ -165,5 +140,93 @@ def fused_topk_readout(
         interpret=interpret,
     )(sim_p, v_p, valid_p, tau_p, rmax_p, invz_p, qvalid)
 
-    readout = out[:p].reshape(p, o, cv).transpose(1, 0, 2)       # [O, P, Cv]
-    return readout, usage[0, :n]
+    return out[:p], usage[0, :n]
+
+
+def _topk_stats(sims: Sequence[jnp.ndarray], valids: Sequence[jnp.ndarray],
+                top_k: int):
+    """Global per-group top-k softmax stats across segments.
+
+    The top-k of a concatenation equals the top-k over the union of the
+    per-segment top-k candidates, so segments never get concatenated at
+    full width. Returns (tau, rmax, invz), each [P, G]."""
+    from xmem2_tpu.ops.similarity import NEG_INF
+
+    g = valids[0].shape[0]
+    total_n = sum(s.shape[-1] for s in sims)
+    k = min(top_k, total_n)
+
+    taus, rmaxs, invzs = [], [], []
+    for gi in range(g):
+        cands = []
+        for sim, valid in zip(sims, valids):
+            simg = jnp.where(valid[gi][None, :], sim, NEG_INF)
+            kk = min(k, simg.shape[-1])
+            cands.append(jax.lax.top_k(simg, kk)[0])
+        merged = cands[0] if len(cands) == 1 else jnp.concatenate(cands, -1)
+        vals = jax.lax.top_k(merged, k)[0]                # [P, k] desc
+        rmax = vals[:, 0]
+        z = jnp.sum(jnp.exp(vals - rmax[:, None]), axis=-1)
+        taus.append(vals[:, -1])
+        rmaxs.append(rmax)
+        invzs.append(1.0 / z)
+    return (jnp.stack(taus, axis=1), jnp.stack(rmaxs, axis=1),
+            jnp.stack(invzs, axis=1))
+
+
+def fused_topk_readout_multi(
+    segments: Sequence[Tuple[jnp.ndarray, Optional[jnp.ndarray],
+                             jnp.ndarray, jnp.ndarray]],
+    qk: jnp.ndarray,           # [P, Ck]
+    qe: Optional[jnp.ndarray],  # [P, Ck] or None
+    group_ids: Tuple[int, ...],
+    top_k: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """Fused readout over multiple memory segments sharing one global top-k.
+
+    segments: per store, (mk [N,Ck], ms [N] or None, values [O,N,Cv],
+    valid [G,N] bool). Returns (readout [O, P, Cv] f32, [usage [N] f32 per
+    segment]) — equivalent to the jnp path over the concatenation
+    (reference memory_manager.py:61-190), but the dense affinity and the
+    concatenated value buffer never reach HBM."""
+    from xmem2_tpu.ops.similarity import get_similarity
+
+    sims = [get_similarity(mk, ms, qk, qe) for mk, ms, _, _ in segments]
+    valids = [seg[3] for seg in segments]
+    tau, rmax, invz = _topk_stats(sims, valids, top_k)
+
+    p = qk.shape[0]
+    o = segments[0][2].shape[0]
+    cv = segments[0][2].shape[-1]
+
+    out = None
+    usages = []
+    for sim, (_, _, values, valid) in zip(sims, segments):
+        seg_out, seg_usage = _pallas_pass(sim, values, valid, tau, rmax,
+                                          invz, group_ids, interpret)
+        out = seg_out if out is None else out + seg_out
+        usages.append(seg_usage)
+
+    readout = out.reshape(p, o, cv).transpose(1, 0, 2)           # [O, P, Cv]
+    return readout, usages
+
+
+def fused_topk_readout(
+    mk: jnp.ndarray,           # [N, Ck]
+    ms: jnp.ndarray,           # [N]
+    qk: jnp.ndarray,           # [P, Ck]
+    qe: jnp.ndarray,           # [P, Ck] or None
+    values: jnp.ndarray,       # [O, N, Cv]
+    valid: jnp.ndarray,        # [G, N] bool
+    group_ids: Tuple[int, ...],
+    top_k: int,
+    interpret: bool = False,
+):
+    """Single-segment convenience wrapper: returns (readout [O, P, Cv] f32,
+    usage [N] f32). Equivalent to: per-group softmax_w_top over valid slots,
+    per-object readout, group-0 usage (the jnp path in ops/similarity.py)."""
+    readout, usages = fused_topk_readout_multi(
+        [(mk, ms, values, valid)], qk, qe, group_ids, top_k,
+        interpret=interpret)
+    return readout, usages[0]
