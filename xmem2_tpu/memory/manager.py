@@ -52,15 +52,33 @@ from xmem2_tpu.ops.similarity import (
 # jitted kernels (pure; static args control the compiled variant)
 # ---------------------------------------------------------------------------
 
+def _slice_store(s: StoreBuffers, n: int) -> StoreBuffers:
+    """View of the first n slots (free inside jit — a static prefix slice).
+    All valid slots live in [0, size) <= n, so matching over the view is
+    exact; only dead capacity is skipped."""
+    if n >= s.capacity:
+        return s
+    return StoreBuffers(
+        key=s.key[:n], shrinkage=s.shrinkage[:n], selection=s.selection[:n],
+        value=s.value[:, :n], val_valid=s.val_valid[:, :n],
+        use_count=s.use_count[:n], life_count=s.life_count[:n], size=s.size)
+
+
+def _pad_usage(usage: jnp.ndarray, cap: int) -> jnp.ndarray:
+    return usage if usage.shape[0] == cap else jnp.pad(
+        usage, (0, cap - usage.shape[0]))
+
+
 @partial(jax.jit, static_argnames=('group_ids', 'top_k', 'use_long',
                                    'count_usage', 'count_long_usage',
-                                   'fused', 'interpret'))
+                                   'fused', 'interpret', 'used_caps'))
 def _match_kernel(temp: StoreBuffers, perm: StoreBuffers,
                   long: Optional[StoreBuffers],
                   qk: jnp.ndarray, qe: Optional[jnp.ndarray],
                   *, group_ids: Tuple[int, ...], top_k: int, use_long: bool,
                   count_usage: bool, count_long_usage: bool,
-                  fused: bool = False, interpret: bool = False):
+                  fused: bool = False, interpret: bool = False,
+                  used_caps: Optional[Tuple[int, ...]] = None):
     """Memory readout across [long | temp | perm] with per-group top-k softmax.
 
     qk/qe: [HW, Ck]. Returns (readout [O, HW, Cv], temp', long').
@@ -72,8 +90,17 @@ def _match_kernel(temp: StoreBuffers, perm: StoreBuffers,
     fused=True streams the softmax+readout through the Pallas kernel
     (ops/readout_kernel.py) — no dense [G, HW, N] affinity in HBM; the jnp
     path below is the reference implementation and the CPU fallback.
+
+    used_caps (static, [long,] temp, perm order): bucketed occupied-prefix
+    widths — compute scales with how full each store is, not its capacity.
     """
-    seg_stores = ([long] if use_long else []) + [temp, perm]
+    temp_full, long_full = temp, long
+    seg_full = ([long] if use_long else []) + [temp, perm]
+    if used_caps is not None:
+        seg_stores = [_slice_store(s, n) for s, n in zip(seg_full, used_caps)]
+    else:
+        seg_stores = seg_full
+    ti = 1 if use_long else 0     # index of temp in the segment lists
     valids = [s.val_valid & s.slot_valid()[None, :] for s in seg_stores]
 
     if fused:
@@ -83,9 +110,11 @@ def _match_kernel(temp: StoreBuffers, perm: StoreBuffers,
         out, usages = fused_topk_readout_multi(
             segments, qk, qe, group_ids, top_k, interpret=interpret)
         if use_long and count_long_usage:
-            long = ST.update_usage(long, usages[0])
+            long = ST.update_usage(
+                long_full, _pad_usage(usages[0], long_full.capacity))
         if count_usage:
-            temp = ST.update_usage(temp, usages[1] if use_long else usages[0])
+            temp = ST.update_usage(
+                temp_full, _pad_usage(usages[ti], temp_full.capacity))
         return out, temp, long
 
     sims = [get_similarity(s.key, s.shrinkage, qk, qe) for s in seg_stores]
@@ -116,11 +145,15 @@ def _match_kernel(temp: StoreBuffers, perm: StoreBuffers,
         if use_long:
             if count_long_usage:
                 long = ST.update_usage(
-                    long, jax.lax.slice_in_dim(usage_vec, 0, long.capacity))
-            off += long.capacity
+                    long_full,
+                    _pad_usage(jax.lax.slice_in_dim(usage_vec, 0, caps[0]),
+                               long_full.capacity))
+            off += caps[0]
         if count_usage:
             temp = ST.update_usage(
-                temp, jax.lax.slice_in_dim(usage_vec, off, off + temp.capacity))
+                temp_full,
+                _pad_usage(jax.lax.slice_in_dim(usage_vec, off, off + caps[ti]),
+                           temp_full.capacity))
     return out, temp, long
 
 
@@ -348,13 +381,28 @@ class MemoryManager:
         count_long_usage = (use_long and self.enable_long_term_usage
                             and not disable_usage_updates)
 
+        # occupied-prefix widths, bucketed to bound recompiles: compute cost
+        # tracks how full each store is rather than its static capacity
+        def bucket(used: int, cap: int, granule: int) -> int:
+            if used >= cap:
+                return cap
+            return min(cap, max(granule, -(-used // granule) * granule))
+
+        used_caps = []
+        if use_long:
+            used_caps.append(bucket(self.long_size, self.long.capacity, 2048))
+        used_caps.append(bucket(self.temp_size, self.temp.capacity,
+                                4 * self.HW))
+        used_caps.append(bucket(self.perm_size, self.perm.capacity,
+                                2 * self.HW))
+
         fused, interpret = _readout_mode()
         out, temp, long = _match_kernel(
             self.temp, self.perm, self.long if use_long else None,
             qk, qe,
             group_ids=self.group_ids, top_k=self.top_k, use_long=use_long,
             count_usage=count_usage, count_long_usage=count_long_usage,
-            fused=fused, interpret=interpret)
+            fused=fused, interpret=interpret, used_caps=tuple(used_caps))
         if count_usage:
             self.temp = temp
         if count_long_usage:

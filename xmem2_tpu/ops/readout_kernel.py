@@ -143,6 +143,92 @@ def _pallas_pass(sim, values, valid, tau, rmax, invz, group_ids, interpret):
     return out[:p], usage[0, :n]
 
 
+def _make_cand_kernel(num_groups: int, k: int):
+    """Per-block exact top-k VALUES per group, via k-step iterative max with
+    tie multiplicities. XLA's sort-based TopK costs ~0.2us/row on TPU; this
+    VMEM-resident extraction is ~5-10x cheaper at memory-bank widths and its
+    per-block top-k multisets merge exactly (torch.topk tie semantics: exactly
+    k entries per block, value-identical tie subsets)."""
+
+    def kernel(sim_ref, valid_ref, out_ref):
+        gg = pl.program_id(2)
+        sim = sim_ref[...]                       # [BQ, BN]
+        gvs = valid_ref[...]                     # [G, BN] f32
+        # row-select the grid's group via an iota mask (dynamic sublane
+        # indexing is not lowerable; G is tiny so the reduce is free)
+        rows = jax.lax.broadcasted_iota(jnp.int32, gvs.shape, 0)
+        gv = jnp.sum(jnp.where(rows == gg, gvs, 0.0), axis=0,
+                     keepdims=True)              # [1, BN]
+        js = jax.lax.broadcasted_iota(jnp.int32, (sim.shape[0], k), 1)
+        rem = jnp.where(gv > 0, sim, -jnp.inf)
+        out = jnp.full((sim.shape[0], k), -jnp.inf)
+        cum = jnp.zeros((sim.shape[0], 1), jnp.int32)
+        for _ in range(k):
+            m = jnp.max(rem, axis=1, keepdims=True)              # [BQ, 1]
+            hit = rem == m
+            cnt = jnp.sum(hit, axis=1, keepdims=True).astype(jnp.int32)
+            mask = (js >= cum) & (js < cum + cnt)
+            out = jnp.where(mask, m, out)
+            rem = jnp.where(hit, -jnp.inf, rem)
+            cum = cum + cnt
+        out_ref[0, 0, :, :] = out
+
+    return kernel
+
+
+def block_topk_candidates(sim: jnp.ndarray, valid: jnp.ndarray, k: int,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Per-512-block exact top-k values for every group.
+
+    sim [P, N]; valid [G, N] -> candidates [G, P, nb*k] with nb = ceil(N/BN).
+    The global top-k over N equals the top-k over these candidates."""
+    p, n = sim.shape
+    g = valid.shape[0]
+    pp, nn = _round_up(p, BQ), _round_up(n, BN)
+    sim_p = jnp.pad(sim, ((0, pp - p), (0, nn - n)),
+                    constant_values=-jnp.inf)
+    valid_p = jnp.pad(valid, ((0, 0), (0, nn - n))).astype(jnp.float32)
+    nb = nn // BN
+
+    out = pl.pallas_call(
+        _make_cand_kernel(g, k),
+        grid=(pp // BQ, nb, g),
+        in_specs=[
+            pl.BlockSpec((BQ, BN), lambda i, j, gg: (i, j)),
+            pl.BlockSpec((g, BN), lambda i, j, gg: (0, j)),
+        ],
+        # full-block aligned stores: group and memory-block index the leading
+        # output dims (Mosaic constrains only the last two block dims)
+        out_specs=pl.BlockSpec((1, 1, BQ, k), lambda i, j, gg: (gg, j, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, nb, pp, k), jnp.float32),
+        interpret=interpret,
+    )(sim_p, valid_p)
+
+    cand = out[:, :, :p]                                  # [G, nb, P, k]
+    return cand.transpose(0, 2, 1, 3).reshape(g, p, nb * k)
+
+
+def _topk_stats_fused(sims, valids, top_k: int, interpret: bool):
+    """tau/rmax/invz via the Pallas candidate kernel + a narrow XLA merge."""
+    g = valids[0].shape[0]
+    total_n = sum(s.shape[-1] for s in sims)
+    k = min(top_k, total_n)
+
+    cands = []
+    for sim, valid in zip(sims, valids):
+        kk = min(k, sim.shape[-1])
+        c = block_topk_candidates(sim, valid, kk, interpret=interpret)
+        cands.append(c)                                   # [G, P, nb*kk]
+    merged = jnp.concatenate(cands, axis=-1)              # [G, P, sum]
+
+    vals = jax.lax.top_k(merged, k)[0]                    # [G, P, k] desc
+    rmax = vals[..., 0]
+    z = jnp.sum(jnp.exp(vals - rmax[..., None]), axis=-1)
+    tau = vals[..., -1]
+    return (tau.transpose(1, 0), rmax.transpose(1, 0),
+            (1.0 / z).transpose(1, 0))
+
+
 def _topk_stats(sims: Sequence[jnp.ndarray], valids: Sequence[jnp.ndarray],
                 top_k: int):
     """Global per-group top-k softmax stats across segments.
@@ -150,7 +236,7 @@ def _topk_stats(sims: Sequence[jnp.ndarray], valids: Sequence[jnp.ndarray],
     The top-k of a concatenation equals the top-k over the union of the
     per-segment top-k candidates, so segments never get concatenated at
     full width. Returns (tau, rmax, invz), each [P, G]."""
-    from xmem2_tpu.ops.similarity import NEG_INF
+    from xmem2_tpu.ops.similarity import NEG_INF, top_k_values
 
     g = valids[0].shape[0]
     total_n = sum(s.shape[-1] for s in sims)
@@ -161,8 +247,7 @@ def _topk_stats(sims: Sequence[jnp.ndarray], valids: Sequence[jnp.ndarray],
         cands = []
         for sim, valid in zip(sims, valids):
             simg = jnp.where(valid[gi][None, :], sim, NEG_INF)
-            kk = min(k, simg.shape[-1])
-            cands.append(jax.lax.top_k(simg, kk)[0])
+            cands.append(top_k_values(simg, min(k, simg.shape[-1])))
         merged = cands[0] if len(cands) == 1 else jnp.concatenate(cands, -1)
         vals = jax.lax.top_k(merged, k)[0]                # [P, k] desc
         rmax = vals[:, 0]
@@ -194,7 +279,7 @@ def fused_topk_readout_multi(
 
     sims = [get_similarity(mk, ms, qk, qe) for mk, ms, _, _ in segments]
     valids = [seg[3] for seg in segments]
-    tau, rmax, invz = _topk_stats(sims, valids, top_k)
+    tau, rmax, invz = _topk_stats_fused(sims, valids, top_k, interpret)
 
     p = qk.shape[0]
     o = segments[0][2].shape[0]

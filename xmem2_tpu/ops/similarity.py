@@ -34,6 +34,31 @@ NEG_INF = -1e30  # used instead of -jnp.inf so exp() gives exact 0 without nan r
 # they are already native MXU operands with f32 accumulation).
 _PRECISION = jax.lax.Precision.HIGHEST
 
+_TOPK_BLOCK = 512  # level-1 block for the two-level exact top-k
+
+
+def top_k_values(sim: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Exact top-k VALUES over the trailing axis, two-level blockwise.
+
+    XLA's TopK on TPU sorts each full row; splitting rows into blocks, taking
+    each block's top-k, and reducing over the k*n_blocks candidates is exact
+    (the global top-k is contained in the union of block top-ks) and ~5x
+    faster at memory-bank widths (measured 160ms -> 33ms at [1620, 34428]).
+    Only values are returned — the softmax stats (tau, max, Z) need no
+    indices."""
+    n = sim.shape[-1]
+    k = min(k, n)
+    bs = _TOPK_BLOCK
+    if n <= 2 * bs or k >= bs:
+        return jax.lax.top_k(sim, k)[0]
+    lead = sim.shape[:-1]
+    nb = n // bs
+    blocks = sim[..., :nb * bs].reshape(lead + (nb, bs))
+    cand = jax.lax.top_k(blocks, k)[0].reshape(lead + (nb * k,))
+    if n % bs:
+        cand = jnp.concatenate([cand, sim[..., nb * bs:]], axis=-1)
+    return jax.lax.top_k(cand, k)[0]
+
 
 def get_similarity(
     mk: jnp.ndarray,
