@@ -117,20 +117,23 @@ def run_video_device(net, cfg, samples, msk0, labels):
 
 def main():
     cfg, net, samples, msk0, labels = build()
-    # warmup passes compile every frame-kind variant of both pipelines
-    run_video(net, cfg, samples, msk0, labels)
+    # two warmup passes: the first compiles every frame-kind variant, the
+    # second drains per-executable staging costs (the first few executions
+    # of a fresh program are ~10x slower on the tunneled runtime)
+    run_video_device(net, cfg, samples, msk0, labels)
     run_video_device(net, cfg, samples, msk0, labels)
 
-    # best of 2 timed passes each (the dev tunnel's latency/bandwidth wobble)
+    # best of 3 timed passes (the dev tunnel's latency/bandwidth wobble)
     device_fps, checksum = 0.0, None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         checksum = run_video_device(net, cfg, samples, msk0, labels)
         dt = time.perf_counter() - t0
         device_fps = max(device_fps, len(samples) / dt)
 
+    run_video(net, cfg, samples, msk0, labels)  # warm the download pipeline
     e2e_fps = 0.0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         run_video(net, cfg, samples, msk0, labels)
         dt = time.perf_counter() - t0

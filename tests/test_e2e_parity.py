@@ -249,3 +249,156 @@ def test_pipeline_parity(frames_and_mask):
         assert disagree < 0.002, f'frame {ti}: {disagree:.4f} argmax disagreement'
         diff = float(np.abs(r - o).max())
         assert diff < 5e-3, f'frame {ti}: max prob diff {diff:.5f}'
+
+
+@pytest.mark.slow
+def test_pipeline_parity_480p():
+    """Full-resolution (size=480) parity on a short chair clip — covers the
+    production pad/resize path (480x854 -> 480x864 pad) that the 144px tests
+    skip (VERDICT round-1 weak #6)."""
+    from xmem2_tpu.inference.data.video_reader import VideoReader
+    from xmem2_tpu.inference.data.mask_mapper import MaskMapper
+
+    reader = VideoReader('', f'{CHAIR}/JPEGImages', f'{CHAIR}/Annotations',
+                         size=480, use_all_masks=False)
+    samples = [reader[i] for i in range(6)]
+    mapper = MaskMapper()
+    msk0, labels = mapper.convert_mask(samples[0].mask, exhaustive=True)
+    msk0 = reader.resize_mask(msk0)
+    labels = list(mapper.remappings.values())
+
+    names, shapes, sd = build_synth_params()
+    ref_outs = run_reference(sd, samples, msk0, labels)
+    our_outs = run_ours(names, shapes, sd, samples, msk0, labels)
+
+    for ti, (r, o) in enumerate(zip(ref_outs, our_outs)):
+        assert r.shape == o.shape, f'frame {ti}: {r.shape} vs {o.shape}'
+        assert not np.isnan(o).any() and not np.isnan(r).any(), f'frame {ti}'
+        disagree = float((np.argmax(r, 0) != np.argmax(o, 0)).mean())
+        assert disagree < 0.002, f'frame {ti}: argmax disagreement {disagree}'
+
+
+@pytest.mark.slow
+def test_caps_multigroup_long_term_self_consistency():
+    """Multi-group + long-term consolidation e2e: the reference's multi-group
+    LT suffix alignment is a documented bug we do not replicate
+    (memory/manager.py deviation #1), so this is a self-consistency check:
+    tiny LT caps force consolidation with two object groups, outputs must
+    stay finite/valid probabilities and the long-term store must engage."""
+    from xmem2_tpu.inference.data.video_reader import VideoReader
+    from xmem2_tpu.inference.data.mask_mapper import MaskMapper
+    from xmem2_tpu.bridge.torch_params import convert_state_dict
+    from xmem2_tpu.inference.core import InferenceCore
+    from xmem2_tpu.inference.net import XMemNet
+
+    reader = VideoReader('', f'{CAPS}/JPEGImages', f'{CAPS}/Annotations',
+                         size=SIZE, use_all_masks=True)
+    idx = list(range(0, 40, 2)) + [33]
+    idx = sorted(set(idx))
+    samples = [reader[i] for i in idx]
+    ann_pos = {idx.index(0): 0, idx.index(33): 33}
+
+    mapper = MaskMapper()
+    masks_by_pos, labels_by_pos = {}, {}
+    for pos in sorted(ann_pos):
+        m, _ = mapper.convert_mask(samples[pos].mask, exhaustive=True)
+        masks_by_pos[pos] = reader.resize_mask(m)
+        labels_by_pos[pos] = list(mapper.remappings.values())
+
+    _, _, sd = build_synth_params()
+    cfg = dict(CFG)
+    cfg.update(mem_every=2, max_mid_term_frames=4, min_mid_term_frames=2,
+               num_prototypes=8, max_long_term_elements=600)
+    proc = InferenceCore(XMemNet(convert_state_dict(sd)), config=cfg)
+
+    for pos in sorted(ann_pos):
+        proc.set_all_labels(labels_by_pos[pos])
+        proc.put_to_permanent_memory(jnp.asarray(samples[pos].rgb),
+                                     jnp.asarray(masks_by_pos[pos]),
+                                     ti=ann_pos[pos])
+
+    final_labels = labels_by_pos[max(labels_by_pos)]
+    for ti, s in enumerate(samples):
+        prob = np.asarray(proc.step(jnp.asarray(s.rgb),
+                                    end=(ti == len(samples) - 1)))
+        assert np.isfinite(prob).all(), f'frame {ti}'
+        np.testing.assert_allclose(prob.sum(0), 1.0, atol=1e-4)
+
+    assert proc.memory.long_size > 0, 'long-term store never engaged'
+    assert proc.memory.num_groups == 2
+
+
+@pytest.mark.slow
+class TestRunOnVideoModes:
+    """run_on_video API flags (reference run_on_video.py:93-99, :142):
+    augmented permanent-memory preload and original_memory_mechanism."""
+
+    @pytest.fixture()
+    def chair_dirs(self, tmp_path):
+        import shutil
+        from pathlib import Path
+        imgs = tmp_path / 'imgs'
+        anns = tmp_path / 'anns'
+        imgs.mkdir()
+        anns.mkdir()
+        for i in range(6):
+            n = f'frame_{i:06d}.jpg'
+            shutil.copy(Path(CHAIR) / 'JPEGImages' / n, imgs / n)
+        for i in (0, 3):
+            n = f'frame_{i:06d}.png'
+            shutil.copy(Path(CHAIR) / 'Annotations' / n, anns / n)
+        return imgs, anns, tmp_path / 'out'
+
+    def _config(self, tmp_path_ckpt):
+        from xmem2_tpu.bridge.torch_params import save_params, convert_state_dict
+        _, _, sd = build_synth_params()
+        params = convert_state_dict(sd)
+        ckpt = tmp_path_ckpt / 'synth.npz'
+        save_params(params, str(ckpt))
+        return {'model': str(ckpt), 'size': SIZE, 'mem_every': 3,
+                'save_masks': True}
+
+    def test_augmented_preload(self, chair_dirs, tmp_path):
+        from xmem2_tpu.inference import run_on_video as R
+        imgs, anns, out = chair_dirs
+        over = self._config(tmp_path)
+
+        stats = R.run_on_video(str(imgs), str(anns), str(out),
+                               frames_with_masks=[0, 3], compute_iou=True,
+                               print_progress=False,
+                               augment_images_with_masks=True,
+                               overwrite_config=over)
+        # every frame got a mask out
+        assert len(list((out / 'masks').glob('*.png'))) == 6
+        assert len(stats) == 6
+
+        # the preload itself: 2 tracked annotated frames + one anonymous
+        # permanent copy per augmentation of each (run_on_video.py:93-99)
+        from xmem2_tpu.config import VIDEO_INFERENCE_CONFIG
+        from xmem2_tpu.inference.data.mask_mapper import MaskMapper
+        from xmem2_tpu.inference.frame_selection.utils import (
+            get_determenistic_augmentations)
+        cfg = VIDEO_INFERENCE_CONFIG.copy()
+        cfg.update(over)
+        mapper, proc, reader = R._load_main_objects(str(imgs), str(anns), cfg)
+        ok, _ = R._preload_permanent_memory([0, 3], reader, MaskMapper(),
+                                            proc,
+                                            augment_images_with_masks=True)
+        assert ok
+        n_augs = len(get_determenistic_augmentations(subset='best_all'))
+        hw = proc.memory.HW
+        assert proc.memory.perm_size == (2 + 2 * n_augs) * hw
+        assert sorted(proc.permanent_memory_frames) == [0, 3]
+
+    def test_original_memory_mechanism(self, chair_dirs, tmp_path):
+        from xmem2_tpu.inference import run_on_video as R
+        imgs, anns, out = chair_dirs
+        over = self._config(tmp_path)
+
+        stats = R.run_on_video(str(imgs), str(anns), str(out),
+                               frames_with_masks=[0, 3],
+                               original_memory_mechanism=True,
+                               compute_iou=True, print_progress=False,
+                               overwrite_config=over)
+        assert len(list((out / 'masks').glob('*.png'))) == 6
+        assert len(stats) == 6

@@ -9,13 +9,60 @@ integer counters — exactly the reference's logic — and dispatches to the
 jit-compiled network + memory kernels. Images are channels-last [H, W, 3].
 """
 
+from functools import partial
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 
-from xmem2_tpu.memory.manager import MemoryManager
+from xmem2_tpu.memory.manager import MemoryManager, _match_kernel
 from xmem2_tpu.inference.net import XMemNet
+from xmem2_tpu.models import network as XN
 from xmem2_tpu.ops.tensor import aggregate, pad_divide_by, unpad
+
+
+@partial(jax.jit, static_argnames=('size', 'h_out', 'dtype_name', 'group_ids',
+                                   'top_k', 'use_long', 'count_usage',
+                                   'count_long_usage', 'fused', 'interpret',
+                                   'used_caps'))
+def _plain_frame_step(params, image, temp, perm, long, hidden, *,
+                      size, h_out, dtype_name, group_ids, top_k, use_long,
+                      count_usage, count_long_usage, fused, interpret,
+                      used_caps):
+    """The steady-state frame (no mask, no memory insert) as ONE compiled
+    program: preprocess -> pad -> encode key -> memory match -> segment ->
+    unpad. One dispatch per frame instead of ~6 — the per-call dispatch cost
+    (multi-ms over a tunneled TPU, ~100us host-attached) stops dominating.
+
+    Returns (prob [1+O, H, W], temp', long', hidden', key, shrinkage,
+    selection)."""
+    dtype = jnp.bfloat16 if dtype_name == 'bfloat16' else None
+
+    if image.dtype == jnp.uint8:
+        from xmem2_tpu.inference.preprocess import preprocess_frame
+        image = preprocess_frame(image, size)
+    image, pad = pad_divide_by(image, 16)
+    image = image[None]
+
+    key, shrinkage, selection, f16, f8, f4 = XN.encode_key(params, image,
+                                                           dtype=dtype)
+    ck = key.shape[-1]
+    qk = key.reshape(-1, ck)
+    qe = selection.reshape(-1, ck) if selection is not None else None
+    out, temp, long = _match_kernel(
+        temp, perm, long, qk, qe,
+        group_ids=group_ids, top_k=top_k, use_long=use_long,
+        count_usage=count_usage, count_long_usage=count_long_usage,
+        fused=fused, interpret=interpret, used_caps=used_caps)
+    n_obj = out.shape[0]
+    h16, w16 = key.shape[1:3]
+    readout = out.reshape(n_obj, h16, w16, -1)[None]
+
+    hidden_new, _, prob = XN.segment(params, (f16, f8, f4), readout, hidden,
+                                     h_out=h_out, strip_bg=False, dtype=dtype)
+    res = unpad(jnp.moveaxis(prob[0], 0, -1), pad)
+    res = jnp.moveaxis(res, -1, 0)
+    return res, temp, long, hidden_new, key, shrinkage, selection
 
 
 class InferenceCore:
@@ -75,12 +122,6 @@ class InferenceCore:
         (background included, reference step returns unpadded probs)."""
         self.curr_ti += 1
 
-        if image.dtype == jnp.uint8:
-            from xmem2_tpu.inference.preprocess import preprocess_frame
-            image = preprocess_frame(image, self.size)
-        image, self.pad = pad_divide_by(image, 16)
-        image = image[None]
-
         if manually_curated_masks:
             is_mem_frame = (mask is not None) and (not end)
         else:
@@ -98,13 +139,49 @@ class InferenceCore:
         is_normal_update = (not self.deep_update_sync or not is_deep_update) \
             and (not end)
 
-        key, shrinkage, selection, f16, f8, f4 = self.network.encode_key(image)
-        multi_scale_features = (f16, f8, f4)
-
         if disable_memory_updates:
             is_normal_update = False
             is_deep_update = False
             is_mem_frame = False
+
+        # ---- fast path: the steady-state frame as one compiled program ----
+        import os
+        if (mask is None and need_segment and not is_mem_frame
+                and self.memory.work_mem_engaged
+                and self.memory.get_hidden() is not None
+                and os.environ.get('XMEM2_FAST_STEP', '1') != '0'):
+            mm = self.memory
+            cfg = mm.match_static_config(disable_memory_updates)
+            res, temp, long, hidden, key, shrinkage, selection = \
+                _plain_frame_step(
+                    self.network.params, image, mm.temp, mm.perm,
+                    mm.long if cfg['use_long'] else None, mm.get_hidden(),
+                    size=self.size, h_out=is_normal_update,
+                    dtype_name=getattr(self.network.dtype, '__name__',
+                                       str(self.network.dtype)), **cfg)
+            if cfg['count_usage']:
+                mm.temp = temp
+            if cfg['count_long_usage']:
+                mm.long = long
+            if is_normal_update:
+                mm.set_hidden(hidden)
+            if disable_memory_updates:
+                self.curr_ti -= 1
+            if return_key_and_stuff:
+                return res, key, shrinkage, selection
+            return res
+        # --------------------------------------------------------------------
+
+        if image.dtype == jnp.uint8:
+            from xmem2_tpu.inference.preprocess import preprocess_frame
+            image = preprocess_frame(image, self.size)
+        image, self.pad = pad_divide_by(image, 16)
+        image = image[None]
+
+        key, shrinkage, selection, f16, f8, f4 = self.network.encode_key(image)
+        multi_scale_features = (f16, f8, f4)
+
+        if disable_memory_updates:
             self.curr_ti -= 1  # do not advance the iteration further
 
         if need_segment:

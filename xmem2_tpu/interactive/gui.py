@@ -6,35 +6,23 @@ propagation, permanent-memory reference management, annotation-candidate
 computation, live memory-parameter controls, overlay visualization modes,
 mask/layer import, memory gauges.
 
-This is a compact reimplementation of the same surfaces on top of the
-xmem2_tpu engine; it only imports when PyQt5 is installed (the engine and the
-Python API never require Qt).
+All non-widget logic lives in SessionController (interactive/session.py),
+which is unit-tested headlessly; this module is widget plumbing only and
+imports iff PyQt5 is installed (the engine and Python API never require Qt).
 """
 
-import functools
-import os
-
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from PyQt5.QtCore import Qt, QTimer, QThreadPool
 from PyQt5.QtGui import QImage, QPixmap, QKeySequence
 from PyQt5.QtWidgets import (
     QApplication, QButtonGroup, QComboBox, QFileDialog, QHBoxLayout, QLabel,
-    QMainWindow, QMessageBox, QPlainTextEdit, QProgressBar, QPushButton,
-    QRadioButton, QShortcut, QSlider, QSpinBox, QTabWidget, QVBoxLayout,
-    QWidget)
+    QMainWindow, QPlainTextEdit, QPushButton, QRadioButton, QShortcut,
+    QSlider, QSpinBox, QTabWidget, QVBoxLayout, QWidget)
 
 from xmem2_tpu.interactive.gui_utils import (
     ImageLinkCollection, NamedSlider, Worker)
-from xmem2_tpu.interactive.interaction import (
-    ClickInteraction, FreeInteraction, ScribbleInteraction)
-from xmem2_tpu.interactive.interactive_utils import (
-    get_visualization, image_to_jax, index_numpy_to_one_hot,
-    prob_to_numpy_mask)
-from xmem2_tpu.inference.frame_selection.frame_selection import (
-    select_next_candidates)
+from xmem2_tpu.interactive.session import SessionController
 
 
 def _np_to_pixmap(arr: np.ndarray) -> QPixmap:
@@ -48,30 +36,25 @@ class App(QMainWindow):
     def __init__(self, processor, resource_manager, s2m_ctrl, fbrs_ctrl,
                  config):
         super().__init__()
-        self.processor = processor
+        self.ctl = SessionController(processor, resource_manager,
+                                     s2m_ctrl, fbrs_ctrl, config,
+                                     log=self.text)
         self.res_man = resource_manager
-        self.s2m_controller = s2m_ctrl
-        self.fbrs_controller = fbrs_ctrl
-        self.config = config
-
-        self.num_objects = resource_manager.num_objects
-        self.processor.set_all_labels(list(range(1, self.num_objects + 1)))
-        self.num_frames = len(resource_manager)
-        self.height, self.width = resource_manager.h, resource_manager.w
-
-        self.cursur = 0
-        self.current_object = 1
-        self.viz_mode = 'davis'
-        self.interaction = None
-        self.propagating = False
-        self.brush_size = 3
-        self.layer = None
 
         self.threadpool = QThreadPool()
         self._build_ui()
-        self._restore_saved_masks()
-        self._replay_references()
+        for fi in self.ctl.replay_references():
+            self.references_tab.add_image(fi)
         self.show_current_frame()
+
+    # convenience passthroughs -------------------------------------------
+    @property
+    def cursur(self):
+        return self.ctl.cursur
+
+    @property
+    def num_frames(self):
+        return self.ctl.num_frames
 
     # ------------------------------------------------------------------ UI
     def _build_ui(self):
@@ -86,7 +69,7 @@ class App(QMainWindow):
         self.canvas.mouseReleaseEvent = self.on_mouse_release
 
         self.tl_slider = QSlider(Qt.Horizontal)
-        self.tl_slider.setMaximum(self.num_frames - 1)
+        self.tl_slider.setMaximum(self.ctl.num_frames - 1)
         self.tl_slider.valueChanged.connect(self.on_slider)
 
         # interaction mode
@@ -102,7 +85,7 @@ class App(QMainWindow):
 
         # object selector
         self.object_spin = QSpinBox()
-        self.object_spin.setRange(1, self.num_objects)
+        self.object_spin.setRange(1, self.ctl.num_objects)
         self.object_spin.valueChanged.connect(self.on_object_changed)
         mode_row.addWidget(QLabel('Object:'))
         mode_row.addWidget(self.object_spin)
@@ -124,7 +107,7 @@ class App(QMainWindow):
         self.btn_prop_fwd.clicked.connect(lambda: self.on_propagation('forward'))
         self.btn_prop_bwd.clicked.connect(lambda: self.on_propagation('backward'))
         self.btn_prop_full.clicked.connect(self.on_full_propagation)
-        self.btn_stop.clicked.connect(self.on_stop_propagation)
+        self.btn_stop.clicked.connect(self.ctl.stop)
         self.btn_clear_mem.clicked.connect(self.on_clear_memory)
         for b in (self.btn_prop_bwd, self.btn_prop_full, self.btn_prop_fwd,
                   self.btn_stop, self.btn_clear_mem):
@@ -147,19 +130,20 @@ class App(QMainWindow):
             ref_row.addWidget(b)
 
         # live memory parameters (reference gui.py:1090-1128)
+        cfg = self.ctl.config
         self.mem_sliders = {
             'mem_every': NamedSlider('mem every', 1, 100, 1,
-                                     self.config['mem_every']),
-            'top_k': NamedSlider('top k', 5, 100, 1, self.config['top_k']),
+                                     cfg['mem_every']),
+            'top_k': NamedSlider('top k', 5, 100, 1, cfg['top_k']),
             'max_mid_term_frames': NamedSlider(
-                'max mid-term', 4, 100, 1, self.config['max_mid_term_frames']),
+                'max mid-term', 4, 100, 1, cfg['max_mid_term_frames']),
             'min_mid_term_frames': NamedSlider(
-                'min mid-term', 3, 99, 1, self.config['min_mid_term_frames']),
+                'min mid-term', 3, 99, 1, cfg['min_mid_term_frames']),
             'num_prototypes': NamedSlider(
-                'prototypes', 32, 1280, 32, self.config['num_prototypes']),
+                'prototypes', 32, 1280, 32, cfg['num_prototypes']),
             'max_long_term_elements': NamedSlider(
                 'max long-term', 1000, 100000, 1000,
-                self.config['max_long_term_elements']),
+                cfg['max_long_term_elements']),
         }
         mem_col = QVBoxLayout()
         for s in self.mem_sliders.values():
@@ -205,13 +189,20 @@ class App(QMainWindow):
         central.setLayout(root)
 
         QShortcut(QKeySequence(Qt.Key_Left), self).activated.connect(
-            lambda: self.tl_slider.setValue(max(0, self.cursur - 1)))
+            lambda: self.tl_slider.setValue(max(0, self.ctl.cursur - 1)))
         QShortcut(QKeySequence(Qt.Key_Right), self).activated.connect(
             lambda: self.tl_slider.setValue(
-                min(self.num_frames - 1, self.cursur + 1)))
+                min(self.ctl.num_frames - 1, self.ctl.cursur + 1)))
 
     def text(self, msg):
         self.console.appendPlainText(str(msg))
+
+    def _mode(self) -> str:
+        if self.radio_click.isChecked():
+            return 'click'
+        if self.radio_scribble.isChecked():
+            return 'scribble'
+        return 'free'
 
     # ------------------------------------------------------------- frames
     def _thumbnail(self, frame_id):
@@ -219,100 +210,45 @@ class App(QMainWindow):
         small = img[::4, ::4]
         return _np_to_pixmap(np.ascontiguousarray(small))
 
-    def _restore_saved_masks(self):
-        pass  # masks are read lazily through the resource manager
-
-    def _replay_references(self):
-        """Re-insert saved references into permanent memory on startup
-        (reference gui.py:599-603)."""
-        for fi in sorted(self.res_man.references):
-            mask = self.res_man.get_mask(fi)
-            if mask is None:
-                continue
-            self._put_reference(fi, mask)
-            self.references_tab.add_image(fi)
-
-    def _current_image_jax(self):
-        norm, _ = image_to_jax(self.res_man.get_image(self.cursur))
-        return norm
-
-    def current_mask(self):
-        m = self.res_man.get_mask(self.cursur)
-        if m is None:
-            return np.zeros((self.height, self.width), np.uint8)
-        return m.copy()
-
     def show_current_frame(self):
-        image = self.res_man.get_image(self.cursur)
-        mask = self.current_mask()
-        viz = get_visualization(self.viz_mode, image, mask, self.layer,
-                                self.current_object)
-        self.canvas.setPixmap(_np_to_pixmap(viz))
-        self.res_man.save_visualization(self.cursur, viz)
+        self.canvas.setPixmap(_np_to_pixmap(self.ctl.visualization()))
 
     def jump_to_frame(self, fi):
         self.tl_slider.setValue(fi)
 
     # ------------------------------------------------------------- events
     def on_slider(self, value):
-        self.cursur = value
-        self.interaction = None
-        if self.fbrs_controller is not None:
-            self.fbrs_controller.unanchor()
+        self.ctl.set_cursor(value)
         self.show_current_frame()
 
     def on_viz_mode(self, mode):
-        self.viz_mode = mode
+        self.ctl.viz_mode = mode
         self.show_current_frame()
 
     def on_object_changed(self, value):
-        self.current_object = value
+        self.ctl.current_object = value
 
     def _canvas_coords(self, event):
         pix = self.canvas.pixmap()
         if pix is None:
             return None
-        x = event.pos().x() * self.width / max(pix.width(), 1)
-        y = event.pos().y() * self.height / max(pix.height(), 1)
-        return float(np.clip(x, 0, self.width - 1)), \
-            float(np.clip(y, 0, self.height - 1))
+        x = event.pos().x() * self.ctl.width / max(pix.width(), 1)
+        y = event.pos().y() * self.ctl.height / max(pix.height(), 1)
+        return float(np.clip(x, 0, self.ctl.width - 1)), \
+            float(np.clip(y, 0, self.ctl.height - 1))
 
     def on_mouse_press(self, event):
         coords = self._canvas_coords(event)
         if coords is None:
             return
-        x, y = coords
         is_neg = event.button() == Qt.RightButton
-
-        if self.radio_click.isChecked():
-            if not isinstance(self.interaction, ClickInteraction):
-                prev = index_numpy_to_one_hot(self.current_mask(),
-                                              self.num_objects + 1)
-                self.interaction = ClickInteraction(
-                    self._current_image_jax(), prev,
-                    (self.height, self.width), self.fbrs_controller,
-                    self.current_object)
-            self.interaction.push_point(x, y, is_neg)
-            self._commit_interaction()
-        elif self.radio_scribble.isChecked():
-            if not isinstance(self.interaction, ScribbleInteraction):
-                self.interaction = ScribbleInteraction(
-                    self._current_image_jax(), self.current_mask(),
-                    (self.height, self.width), self.s2m_controller,
-                    self.num_objects)
-            self.interaction.push_point(
-                x, y, 0 if is_neg else self.current_object)
-        else:
-            if not isinstance(self.interaction, FreeInteraction):
-                self.interaction = FreeInteraction(
-                    None, self.current_mask(), (self.height, self.width),
-                    self.num_objects)
-                self.interaction.set_size(self.brush_size)
-            self.interaction.push_point(
-                x, y, 0 if is_neg else self.current_object)
+        committed = self.ctl.push_point(coords[0], coords[1], is_neg,
+                                        self._mode())
+        if committed is not None:
+            self.show_current_frame()
 
     def on_mouse_move(self, event):
-        if self.interaction is None or self.radio_click.isChecked():
+        if self.ctl.interaction is None or self._mode() == 'click':
             return
         if not (event.buttons() & (Qt.LeftButton | Qt.RightButton)):
             return
@@ -320,137 +256,54 @@ class App(QMainWindow):
         if coords is None:
             return
         is_neg = bool(event.buttons() & Qt.RightButton)
-        self.interaction.push_point(
-            coords[0], coords[1], 0 if is_neg else self.current_object)
+        self.ctl.push_point(coords[0], coords[1], is_neg, self._mode())
 
     def on_mouse_release(self, event):
-        if self.interaction is None or self.radio_click.isChecked():
+        if self.ctl.interaction is None or self._mode() == 'click':
             return
-        self.interaction.end_path()
-        self._commit_interaction()
-
-    def _commit_interaction(self):
-        prob = self.interaction.predict()
-        mask = prob_to_numpy_mask(np.asarray(prob)) \
-            if prob.shape[0] == self.num_objects + 1 \
-            else prob_to_numpy_mask(np.asarray(prob))
-        self.res_man.save_mask(self.cursur, mask)
-        self.show_current_frame()
+        if self.ctl.end_path() is not None:
+            self.show_current_frame()
 
     # -------------------------------------------------------- propagation
+    def _on_prop_frame(self, ti):
+        self.tl_slider.blockSignals(True)
+        self.tl_slider.setValue(ti)
+        self.tl_slider.blockSignals(False)
+        self.show_current_frame()
+        QApplication.processEvents()
+
     def on_propagation(self, direction):
-        """Forward/backward propagation loop (reference gui.py:751-816)."""
-        mask = self.res_man.get_mask(self.cursur)
-        if mask is None or mask.max() == 0:
-            self.text('No mask on the current frame to propagate from.')
-            return
-        self.propagating = True
-
-        onehot = index_numpy_to_one_hot(mask, self.num_objects + 1)[1:]
-        image = self._current_image_jax()
-        self.processor.clear_memory(keep_permanent=True)
-        prob = self.processor.step(image, jnp.asarray(onehot),
-                                   list(range(1, self.num_objects + 1)))
-        self._store_step(self.cursur, prob, image)
-
-        rng = (range(self.cursur + 1, self.num_frames)
-               if direction == 'forward'
-               else range(self.cursur - 1, -1, -1))
-        for ti in rng:
-            if not self.propagating:
-                break
-            self.cursur = ti
-            norm, _ = image_to_jax(self.res_man.get_image(ti))
-            prob, key, shrinkage, selection = self.processor.step(
-                norm, return_key_and_stuff=True)
-            self._store_step(ti, prob, norm, key, shrinkage, selection)
-            self.tl_slider.blockSignals(True)
-            self.tl_slider.setValue(ti)
-            self.tl_slider.blockSignals(False)
-            self.show_current_frame()
-            QApplication.processEvents()
-        self.propagating = False
-
-    def _store_step(self, ti, prob, image, key=None, shrinkage=None,
-                    selection=None):
-        mask = prob_to_numpy_mask(prob)
-        self.res_man.save_mask(ti, mask)
-        if key is None:
-            key, shrinkage, selection = self.processor.encode_frame_key(image)
-        small = np.asarray(prob)[1:, ::16, ::16]
-        self.res_man.add_key_and_stuff_with_mask(ti, key, shrinkage,
-                                                 selection, small)
+        self.ctl.propagate(direction, on_frame=self._on_prop_frame)
 
     def on_full_propagation(self):
-        """FULL: clear to permanent only, jump to frame 0, propagate forward
-        (reference gui.py:714-750)."""
-        self.on_clear_memory()
-        ref_frames = sorted(self.res_man.references)
-        start = ref_frames[0] if ref_frames else 0
-        self.tl_slider.setValue(start)
-        self.cursur = start
-        self.on_propagation('forward')
-
-    def on_stop_propagation(self):
-        self.propagating = False
+        self.ctl.full_propagate(on_frame=self._on_prop_frame)
 
     def on_clear_memory(self):
-        self.processor.clear_memory(keep_permanent=True)
-        self.text('Working/long-term memory cleared (permanent kept).')
+        self.ctl.clear_memory()
         self.update_memory_size()
 
     # --------------------------------------------------------- references
     def on_save_reference(self):
-        mask = self.res_man.get_mask(self.cursur)
-        if mask is None or mask.max() == 0:
-            self.text('No mask to save as reference.')
-            return
-        self._put_reference(self.cursur, mask)
-        self.res_man.add_reference(self.cursur)
-        self.references_tab.add_image(self.cursur)
-        self.text(f'Frame {self.cursur} saved to permanent memory.')
-
-    def _put_reference(self, fi, mask):
-        norm, _ = image_to_jax(self.res_man.get_image(fi))
-        onehot = index_numpy_to_one_hot(mask, self.num_objects + 1)[1:]
-        self.processor.put_to_permanent_memory(norm, jnp.asarray(onehot),
-                                               ti=fi)
+        if self.ctl.save_reference():
+            self.references_tab.add_image(self.ctl.cursur)
 
     def on_remove_reference(self):
-        if self.cursur not in self.res_man.references:
-            self.text('Current frame is not a reference.')
-            return
-        self.processor.remove_from_permanent_memory(self.cursur)
-        self.res_man.remove_reference(self.cursur)
-        self.references_tab.remove_image(self.cursur)
-        self.text(f'Frame {self.cursur} removed from permanent memory.')
+        if self.ctl.remove_reference():
+            self.references_tab.remove_image(self.ctl.cursur)
 
     # --------------------------------------------------------- candidates
     def on_compute_candidates(self):
         """Run the diversity selector off the UI thread
         (reference gui.py:818-850)."""
-        if not self.res_man.all_masks_present():
-            self.text('Some frames lack cached keys/masks — run FULL '
-                      'propagation first.')
-            return
-        k = 5
-
-        def compute():
-            return select_next_candidates(
-                self.res_man.keys, self.res_man.shrinkages,
-                self.res_man.selections,
-                list(self.res_man.small_masks), k,
-                previously_chosen_candidates=sorted(self.res_man.references)
-                or [0],
-                alpha=0.5, only_new_candidates=True)
-
-        worker = Worker(compute)
+        worker = Worker(self.ctl.compute_candidates)
         worker.signals.result.connect(self._show_candidates)
         worker.signals.error.connect(lambda e: self.text(e[2]))
         self.threadpool.start(worker)
         self.text('Computing annotation candidates...')
 
     def _show_candidates(self, candidates):
+        if candidates is None:
+            return
         self.candidates_tab.clear()
         for fi in candidates:
             self.candidates_tab.add_image(int(fi))
@@ -461,39 +314,28 @@ class App(QMainWindow):
         file_name, _ = QFileDialog.getOpenFileName(self, 'Select mask file')
         if not file_name:
             return
-        mask = self.res_man.read_external_image(
-            file_name, size=(self.height, self.width), force_mask=True)
-        self.res_man.save_mask(self.cursur, mask)
+        self.ctl.import_mask(file_name)
         self.show_current_frame()
 
     def on_import_layer(self):
         file_name, _ = QFileDialog.getOpenFileName(self, 'Select RGBA layer')
         if not file_name:
             return
-        layer = self.res_man.read_external_image(
-            file_name, size=(self.height, self.width))
-        if layer.ndim == 3 and layer.shape[-1] == 4:
-            self.layer = layer
+        if self.ctl.import_layer(file_name):
             self.viz_combo.setCurrentText('layered')
-        else:
-            self.text('Layer must be RGBA.')
 
     # -------------------------------------------------------------- misc
     def update_config(self):
-        cfg = dict(self.config)
-        for key, slider in self.mem_sliders.items():
-            cfg[key] = int(slider.value())
-        self.config = cfg
-        self.processor.update_config(cfg)
+        self.ctl.update_config({key: int(slider.value())
+                                for key, slider in self.mem_sliders.items()})
 
     def update_memory_size(self):
-        mm = self.processor.memory
+        stats = self.ctl.memory_stats()
         self.mem_gauge.setText(
-            f'memory: temp {mm.temp_size} | perm {mm.perm_size} | '
-            f'long {mm.long_size}')
-        try:
-            stats = jax.local_devices()[0].memory_stats() or {}
-            used = stats.get('bytes_in_use', 0) / 2**20
-            self.gpu_gauge.setText(f'device: {used:.0f} MB')
-        except Exception:
+            f"memory: temp {stats['temp']} | perm {stats['perm']} | "
+            f"long {stats['long']}")
+        if 'device_bytes_in_use' in stats:
+            self.gpu_gauge.setText(
+                f"device: {stats['device_bytes_in_use'] / 2**20:.0f} MB")
+        else:
             self.gpu_gauge.setText('device: n/a')

@@ -369,20 +369,15 @@ class MemoryManager:
         return np.ones((max(self.num_groups, 1),), bool)
 
     # -- public API (reference parity) --------------------------------------
-    def match_memory(self, query_key: jnp.ndarray, selection: Optional[jnp.ndarray],
-                     disable_usage_updates: bool = False) -> jnp.ndarray:
-        """query_key/selection: [1, h, w, Ck] -> readout [1, O, h, w, Cv]."""
-        h, w = query_key.shape[1:3]
-        qk = query_key.reshape(-1, self.CK)
-        qe = selection.reshape(-1, self.CK) if selection is not None else None
-
+    def match_static_config(self, disable_usage_updates: bool = False) -> dict:
+        """The static keyword set for _match_kernel at the CURRENT store
+        occupancy/topology — lets callers (InferenceCore's fused frame step)
+        compose the match into a larger jitted program."""
         use_long = self.enable_long_term and self.long_size > 0
         count_usage = self.enable_long_term and not disable_usage_updates
         count_long_usage = (use_long and self.enable_long_term_usage
                             and not disable_usage_updates)
 
-        # occupied-prefix widths, bucketed to bound recompiles: compute cost
-        # tracks how full each store is rather than its static capacity
         def bucket(used: int, cap: int, granule: int) -> int:
             if used >= cap:
                 return cap
@@ -397,15 +392,25 @@ class MemoryManager:
                                 2 * self.HW))
 
         fused, interpret = _readout_mode()
+        return dict(group_ids=self.group_ids, top_k=self.top_k,
+                    use_long=use_long, count_usage=count_usage,
+                    count_long_usage=count_long_usage, fused=fused,
+                    interpret=interpret, used_caps=tuple(used_caps))
+
+    def match_memory(self, query_key: jnp.ndarray, selection: Optional[jnp.ndarray],
+                     disable_usage_updates: bool = False) -> jnp.ndarray:
+        """query_key/selection: [1, h, w, Ck] -> readout [1, O, h, w, Cv]."""
+        h, w = query_key.shape[1:3]
+        qk = query_key.reshape(-1, self.CK)
+        qe = selection.reshape(-1, self.CK) if selection is not None else None
+
+        cfg = self.match_static_config(disable_usage_updates)
         out, temp, long = _match_kernel(
-            self.temp, self.perm, self.long if use_long else None,
-            qk, qe,
-            group_ids=self.group_ids, top_k=self.top_k, use_long=use_long,
-            count_usage=count_usage, count_long_usage=count_long_usage,
-            fused=fused, interpret=interpret, used_caps=tuple(used_caps))
-        if count_usage:
+            self.temp, self.perm, self.long if cfg['use_long'] else None,
+            qk, qe, **cfg)
+        if cfg['count_usage']:
             self.temp = temp
-        if count_long_usage:
+        if cfg['count_long_usage']:
             self.long = long
         return out.reshape(self.num_objects, h, w, self.CV)[None]
 
