@@ -58,3 +58,67 @@ def test_long_video_consolidation_and_eviction():
 
     assert proc.memory.long_size > 0, 'consolidation never happened'
     assert evicted, 'long-term memory never reached the eviction regime'
+
+
+@pytest.mark.slow
+def test_long_term_host_spill_and_revive():
+    """Host-DRAM spill tier (SURVEY §5.7 stretch): with spill_long_term on,
+    long-term eviction archives the dropped rows host-side; revive re-uploads
+    the most relevant ones into free capacity and they participate in
+    subsequent matches."""
+    from xmem2_tpu.models.init import init_params
+    from xmem2_tpu.inference.net import XMemNet
+    from xmem2_tpu.inference.core import InferenceCore
+
+    cfg = {
+        'hidden_dim': 64, 'top_k': 10, 'mem_every': 2, 'deep_update_every': -1,
+        'enable_long_term': True, 'enable_long_term_count_usage': True,
+        'max_mid_term_frames': 4, 'min_mid_term_frames': 2,
+        'num_prototypes': 8, 'max_long_term_elements': 64, 'size': -1,
+        'spill_long_term': True,
+    }
+    params = init_params(seed=0)
+    params.tree['key_proj']['key_proj']['weight'] = \
+        params.tree['key_proj']['key_proj']['weight'] * 0.01
+    params.tree['key_proj']['d_proj']['weight'] = \
+        params.tree['key_proj']['d_proj']['weight'] * 0.01
+    net = XMemNet(params)
+    proc = InferenceCore(net, config=cfg)
+    proc.set_all_labels([1])
+
+    rng = np.random.default_rng(1)
+    h, w = 64, 96
+    frames = [rng.standard_normal((h, w, 3)).astype(np.float32) * 0.5
+              for _ in range(6)]
+    mask0 = np.zeros((1, h, w), np.float32)
+    mask0[0, 20:40, 30:60] = 1
+
+    order = list(range(6)) + list(range(4, -1, -1))
+    n_frames = 80
+    for ti in range(n_frames):
+        f = jnp.asarray(frames[order[ti % len(order)]])
+        if ti == 0:
+            prob = proc.step(f, jnp.asarray(mask0), [1])
+        else:
+            prob = proc.step(f, end=(ti == n_frames - 1))
+        assert np.isfinite(np.asarray(prob)).all(), f'frame {ti}'
+
+    mm = proc.memory
+    assert mm.archive is not None and len(mm.archive) > 0, \
+        'eviction never archived anything'
+    archived_before = len(mm.archive)
+
+    # free some capacity, then revive against the last frame's key
+    key, _, _ = proc.encode_frame_key(jnp.asarray(frames[0]))
+    mm.long = __import__('xmem2_tpu.memory.store', fromlist=['x']) \
+        .evict_by_usage(mm.long, jnp.int32(16))
+    mm.long_size = int(mm.long.size)
+    revived = mm.revive_from_archive(query_key=key)
+    assert revived > 0
+    assert len(mm.archive) == archived_before - revived
+    assert mm.long_size == 16 + revived
+    assert mm.long_size <= cfg['max_long_term_elements'] - cfg['num_prototypes']
+
+    # the revived rows are live: a match over them stays finite
+    prob = proc.step(jnp.asarray(frames[1]))
+    assert np.isfinite(np.asarray(prob)).all()

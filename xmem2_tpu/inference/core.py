@@ -24,18 +24,32 @@ from xmem2_tpu.ops.tensor import aggregate, pad_divide_by, unpad
 @partial(jax.jit, static_argnames=('size', 'h_out', 'dtype_name', 'group_ids',
                                    'top_k', 'use_long', 'count_usage',
                                    'count_long_usage', 'fused', 'interpret',
-                                   'used_caps'))
-def _plain_frame_step(params, image, temp, perm, long, hidden, *,
+                                   'used_caps', 'use_perm', 'pack_hw',
+                                   'mem_frame', 'deep_update',
+                                   'use_selection'))
+def _plain_frame_step(params, image, temp, perm, long, hidden, acc=None, *,
                       size, h_out, dtype_name, group_ids, top_k, use_long,
                       count_usage, count_long_usage, fused, interpret,
-                      used_caps):
-    """The steady-state frame (no mask, no memory insert) as ONE compiled
-    program: preprocess -> pad -> encode key -> memory match -> segment ->
-    unpad. One dispatch per frame instead of ~6 — the per-call dispatch cost
-    (multi-ms over a tunneled TPU, ~100us host-attached) stops dominating.
+                      used_caps, use_perm, pack_hw=None, mem_frame=False,
+                      deep_update=False, use_selection=False):
+    """The steady-state frame (no user mask) as ONE compiled program:
+    preprocess -> pad -> encode key -> memory match -> segment -> unpad
+    [-> encode value + working-memory append] [-> resize/argmax/4-bit pack].
+    One dispatch per frame instead of ~6 — the per-kernel cost (multi-ms over
+    a tunneled TPU, ~100us host-attached) stops dominating.
+
+    mem_frame: every mem_every-th frame also value-encodes its prediction and
+    appends it to working memory in the same program (deep_update selects the
+    GRU-refreshed hidden state, reference inference_core.py:114-133).
+    pack_hw: when set, the output index mask at that resolution is 4-bit
+    packed in the same program (the production download path). acc: optional
+    running uint32 checksum the packed mask is folded into (benchmarks fetch
+    one scalar at the end to bound all device work).
 
     Returns (prob [1+O, H, W], temp', long', hidden', key, shrinkage,
-    selection)."""
+    selection, packed-or-None, acc'-or-None)."""
+    from xmem2_tpu.memory import store as ST
+
     dtype = jnp.bfloat16 if dtype_name == 'bfloat16' else None
 
     if image.dtype == jnp.uint8:
@@ -53,16 +67,41 @@ def _plain_frame_step(params, image, temp, perm, long, hidden, *,
         temp, perm, long, qk, qe,
         group_ids=group_ids, top_k=top_k, use_long=use_long,
         count_usage=count_usage, count_long_usage=count_long_usage,
-        fused=fused, interpret=interpret, used_caps=used_caps)
+        fused=fused, interpret=interpret, used_caps=used_caps,
+        use_perm=use_perm)
     n_obj = out.shape[0]
     h16, w16 = key.shape[1:3]
     readout = out.reshape(n_obj, h16, w16, -1)[None]
 
     hidden_new, _, prob = XN.segment(params, (f16, f8, f4), readout, hidden,
                                      h_out=h_out, strip_bg=False, dtype=dtype)
+
+    if mem_frame:
+        # value-encode the prediction and append to working memory
+        # (reference step :114-133); with h_out the segment's refreshed
+        # hidden feeds the value encoder, as in the split path
+        h_for_value = hidden_new if h_out else hidden
+        value, hidden_deep = XN.encode_value(
+            params, image, f16, h_for_value, prob[:, 1:],
+            is_deep_update=deep_update, dtype=dtype)
+        if deep_update:
+            hidden_new = hidden_deep
+        cv = value.shape[-1]
+        presence = jnp.ones((temp.num_groups,), bool)
+        temp = ST.append(temp, qk, shrinkage.reshape(-1),
+                         qe if use_selection else None,
+                         value[0].reshape(n_obj, -1, cv), presence)
+
     res = unpad(jnp.moveaxis(prob[0], 0, -1), pad)
     res = jnp.moveaxis(res, -1, 0)
-    return res, temp, long, hidden_new, key, shrinkage, selection
+
+    packed = None
+    if pack_hw is not None:
+        from xmem2_tpu.inference.postprocess import prob_to_mask_packed
+        packed = prob_to_mask_packed(res, pack_hw)
+        if acc is not None:
+            acc = acc + jnp.sum(packed.astype(jnp.uint32))
+    return res, temp, long, hidden_new, key, shrinkage, selection, packed, acc
 
 
 class InferenceCore:
@@ -115,11 +154,17 @@ class InferenceCore:
              manually_curated_masks: bool = False,
              disable_memory_updates: bool = False,
              do_not_add_mask_to_memory: bool = False,
-             return_key_and_stuff: bool = False):
+             return_key_and_stuff: bool = False,
+             pack_hw=None, acc=None):
         """One frame. image: [H, W, 3] float (ImageNet-normalized) OR raw
         [H0, W0, 3] uint8 (normalize+resize then run on device);
         mask: [num_objects, H, W] or None. Returns prob [1+O, H, W]
-        (background included, reference step returns unpadded probs)."""
+        (background included, reference step returns unpadded probs).
+
+        pack_hw/acc: optional production download path — the 4-bit-packed
+        index mask at pack_hw (and a running checksum) are produced inside
+        the same compiled program on steady-state frames; the return value
+        becomes (prob, packed, acc)."""
         self.curr_ti += 1
 
         if manually_curated_masks:
@@ -144,31 +189,45 @@ class InferenceCore:
             is_deep_update = False
             is_mem_frame = False
 
-        # ---- fast path: the steady-state frame as one compiled program ----
+        # ---- fast path: mask-less frames as one compiled program ----------
         import os
-        if (mask is None and need_segment and not is_mem_frame
+        if (mask is None and need_segment
+                and not (is_mem_frame and is_ignore)
                 and self.memory.work_mem_engaged
                 and self.memory.get_hidden() is not None
                 and os.environ.get('XMEM2_FAST_STEP', '1') != '0'):
             mm = self.memory
+            if is_mem_frame:
+                mm._ensure_stores()   # room for the append (bucket growth)
             cfg = mm.match_static_config(disable_memory_updates)
-            res, temp, long, hidden, key, shrinkage, selection = \
+            res, temp, long, hidden, key, shrinkage, selection, packed, acc = \
                 _plain_frame_step(
                     self.network.params, image, mm.temp, mm.perm,
                     mm.long if cfg['use_long'] else None, mm.get_hidden(),
+                    acc,
                     size=self.size, h_out=is_normal_update,
                     dtype_name=getattr(self.network.dtype, '__name__',
-                                       str(self.network.dtype)), **cfg)
-            if cfg['count_usage']:
+                                       str(self.network.dtype)),
+                    pack_hw=pack_hw, mem_frame=is_mem_frame,
+                    deep_update=is_deep_update,
+                    use_selection=self.enable_long_term, **cfg)
+            if cfg['count_usage'] or is_mem_frame:
                 mm.temp = temp
             if cfg['count_long_usage']:
                 mm.long = long
-            if is_normal_update:
+            if (is_normal_update or is_deep_update) and hidden is not None:
                 mm.set_hidden(hidden)
+            if is_mem_frame:
+                mm.note_temp_append()
+                self.last_mem_ti = self.curr_ti
+                if is_deep_update:
+                    self.last_deep_update_ti = self.curr_ti
             if disable_memory_updates:
                 self.curr_ti -= 1
             if return_key_and_stuff:
                 return res, key, shrinkage, selection
+            if pack_hw is not None:
+                return res, packed, acc
             return res
         # --------------------------------------------------------------------
 
@@ -242,6 +301,12 @@ class InferenceCore:
 
         if return_key_and_stuff:
             return res, key, shrinkage, selection
+        if pack_hw is not None:
+            from xmem2_tpu.inference.postprocess import prob_to_mask_packed
+            packed = prob_to_mask_packed(res, pack_hw)
+            if acc is not None:
+                acc = acc + jnp.sum(packed.astype(jnp.uint32))
+            return res, packed, acc
         return res
 
     def put_to_permanent_memory(self, image: jnp.ndarray, mask: jnp.ndarray,

@@ -24,6 +24,7 @@ from xmem2_tpu.inference.core import InferenceCore
 from xmem2_tpu.inference.net import XMemNet
 from xmem2_tpu.inference.data.video_reader import Sample, VideoReader
 from xmem2_tpu.inference.data.mask_mapper import MaskMapper
+from xmem2_tpu.inference.postprocess import unpack_mask
 from xmem2_tpu.utils.image_saver import ParallelImageSaver
 from xmem2_tpu.utils.iou import compute_array_iou
 from xmem2_tpu.utils.resize_np import resize_bilinear_np
@@ -177,11 +178,15 @@ def _inference_on_video(frames_with_masks, imgs_in_path, masks_in_path,
                 do_not_add_mask_to_memory = msk is not None
 
             a = perf_counter()
-            prob = processor.step(
+            # resize-back + argmax + 4-bit pack run inside the step's compiled
+            # program; only the packed index mask crosses device->host
+            out_hw = tuple(int(x) for x in sample.shape)
+            _, packed, _ = processor.step(
                 jnp.asarray(sample.rgb), msk, labels, end=(ti == vid_length - 1),
                 manually_curated_masks=manually_curated_masks,
-                do_not_add_mask_to_memory=do_not_add_mask_to_memory)
-            out_mask = _post_process(sample, prob)
+                do_not_add_mask_to_memory=do_not_add_mask_to_memory,
+                pack_hw=out_hw)
+            out_mask = unpack_mask(packed, out_hw[1])
             total_processing_time += perf_counter() - a
 
             curr_stat = {'frame': sample.frame, 'mask_provided': msk is not None}

@@ -71,14 +71,16 @@ def _pad_usage(usage: jnp.ndarray, cap: int) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=('group_ids', 'top_k', 'use_long',
                                    'count_usage', 'count_long_usage',
-                                   'fused', 'interpret', 'used_caps'))
+                                   'fused', 'interpret', 'used_caps',
+                                   'use_perm'))
 def _match_kernel(temp: StoreBuffers, perm: StoreBuffers,
                   long: Optional[StoreBuffers],
                   qk: jnp.ndarray, qe: Optional[jnp.ndarray],
                   *, group_ids: Tuple[int, ...], top_k: int, use_long: bool,
                   count_usage: bool, count_long_usage: bool,
                   fused: bool = False, interpret: bool = False,
-                  used_caps: Optional[Tuple[int, ...]] = None):
+                  used_caps: Optional[Tuple[int, ...]] = None,
+                  use_perm: bool = True):
     """Memory readout across [long | temp | perm] with per-group top-k softmax.
 
     qk/qe: [HW, Ck]. Returns (readout [O, HW, Cv], temp', long').
@@ -95,7 +97,8 @@ def _match_kernel(temp: StoreBuffers, perm: StoreBuffers,
     widths — compute scales with how full each store is, not its capacity.
     """
     temp_full, long_full = temp, long
-    seg_full = ([long] if use_long else []) + [temp, perm]
+    seg_full = ([long] if use_long else []) + [temp] \
+        + ([perm] if use_perm else [])
     if used_caps is not None:
         seg_stores = [_slice_store(s, n) for s, n in zip(seg_full, used_caps)]
     else:
@@ -249,6 +252,13 @@ class MemoryManager:
             self.max_long_elements = config['max_long_term_elements']
         self.perm_bucket_frames = config.get('permanent_buffer_frames', 4)
 
+        # host-DRAM spill of evicted long-term elements (SURVEY §5.7)
+        self.spill_long_term = bool(config.get('spill_long_term', False))
+        self.archive = None
+        if self.spill_long_term:
+            from xmem2_tpu.memory.spill import HostArchive
+            self.archive = HostArchive()
+
         self.CK = self.CV = None
         self.H = self.W = self.HW = None
 
@@ -383,19 +393,26 @@ class MemoryManager:
                 return cap
             return min(cap, max(granule, -(-used // granule) * granule))
 
+        # empty stores are dropped from the match entirely — a zeroed segment
+        # still costs a similarity + candidates + readout pass. Keep temp as
+        # the fallback when everything is empty (degenerate, as in reference).
+        use_perm = self.perm_size > 0
+
         used_caps = []
         if use_long:
             used_caps.append(bucket(self.long_size, self.long.capacity, 2048))
         used_caps.append(bucket(self.temp_size, self.temp.capacity,
                                 4 * self.HW))
-        used_caps.append(bucket(self.perm_size, self.perm.capacity,
-                                2 * self.HW))
+        if use_perm:
+            used_caps.append(bucket(self.perm_size, self.perm.capacity,
+                                    2 * self.HW))
 
         fused, interpret = _readout_mode()
         return dict(group_ids=self.group_ids, top_k=self.top_k,
                     use_long=use_long, count_usage=count_usage,
                     count_long_usage=count_long_usage, fused=fused,
-                    interpret=interpret, used_caps=tuple(used_caps))
+                    interpret=interpret, used_caps=tuple(used_caps),
+                    use_perm=use_perm)
 
     def match_memory(self, query_key: jnp.ndarray, selection: Optional[jnp.ndarray],
                      disable_usage_updates: bool = False) -> jnp.ndarray:
@@ -442,15 +459,69 @@ class MemoryManager:
                 self.frame_id_to_permanent_mem_idx[ti] = pos
         else:
             self.temp = _append_kernel(self.temp, k, s, e, v, presence)
-            self.temp_size += self.HW
+            self.note_temp_append()
 
-            if self.enable_long_term and self.temp_size >= self.max_work_elements:
-                if self.long_size >= (self.max_long_elements - self.num_prototypes):
-                    self.long = _evict_kernel(
-                        self.long,
-                        jnp.int32(self.max_long_elements - self.num_prototypes))
-                    self.long_size = int(self.long.size)
-                self.compress_features()
+    def note_temp_append(self):
+        """Bookkeeping after one frame was appended to working memory (by
+        add_memory or by the fused frame step): size mirror + overflow
+        handling (eviction + consolidation, reference memory_manager.py
+        :272-281)."""
+        self.temp_size += self.HW
+        if self.enable_long_term and self.temp_size >= self.max_work_elements:
+            if self.long_size >= (self.max_long_elements - self.num_prototypes):
+                max_keep = self.max_long_elements - self.num_prototypes
+                if self.spill_long_term:
+                    self._spill_evicted(max_keep)
+                self.long = _evict_kernel(self.long, jnp.int32(max_keep))
+                self.long_size = int(self.long.size)
+            self.compress_features()
+
+    def _spill_evicted(self, max_keep: int):
+        """Archive exactly the rows the upcoming evict_by_usage will drop
+        (same threshold rule as ST.evict_by_usage: survivors are strictly
+        above the k-th smallest usage). Rare (once per long-term overflow);
+        moves only the evicted subset host-side."""
+        size = self.long_size
+        n_remove = size - max_keep
+        if n_remove <= 0:
+            return
+        use = np.asarray(self.long.use_count[:size])
+        life = np.asarray(self.long.life_count[:size])
+        u = use / life
+        threshold = np.sort(u)[n_remove - 1]
+        drop = u <= threshold                          # == NOT(kernel's keep)
+        idx = np.nonzero(drop)[0]
+        self.archive.archive(
+            np.asarray(self.long.key[:size])[idx],
+            np.asarray(self.long.shrinkage[:size])[idx],
+            np.asarray(self.long.value[:, :size])[:, idx],
+            np.asarray(self.long.val_valid[:, :size])[:, idx],
+            u[idx])
+
+    def revive_from_archive(self, query_key: Optional[jnp.ndarray] = None,
+                            max_elements: Optional[int] = None) -> int:
+        """Re-upload the most relevant archived long-term rows into free
+        long-term capacity. query_key: optional [1, h, w, Ck] (or [P, Ck])
+        current-frame key used for relevance scoring; without it the most
+        used archived rows revive. Returns how many rows were revived."""
+        if not self.spill_long_term or self.archive.empty or self.long is None:
+            return 0
+        free = (self.max_long_elements - self.num_prototypes) - self.long_size
+        n = free if max_elements is None else min(free, max_elements)
+        if n <= 0:
+            return 0
+        qk = None
+        if query_key is not None:
+            qk = np.asarray(query_key).reshape(-1, self.CK)
+        rows = self.archive.take_top(n, qk)
+        if rows is None:
+            return 0
+        key, shrinkage, value, val_valid = rows
+        self.long = _append_kernel(
+            self.long, jnp.asarray(key), jnp.asarray(shrinkage), None,
+            jnp.asarray(value), jnp.asarray(val_valid))
+        self.long_size += key.shape[0]
+        return int(key.shape[0])
 
     def compress_features(self):
         """Consolidate working memory into long-term prototypes."""
