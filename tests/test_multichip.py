@@ -114,3 +114,80 @@ class TestDataParallelTrainer:
         trainer = XMemTrainer(CONFIG, init_params(seed=0), mesh=mesh8)
         aux = trainer.do_pass(synth_batch(b=8, seed=1), it=0)
         assert np.isfinite(float(aux['total_loss']))
+
+
+class TestShardedMemoryReadout:
+    """Memory-bank sharding over a mesh axis (the context-parallel analog,
+    SURVEY 2.9): per-shard candidates + all_gather merge + psum readout must
+    equal the single-device path exactly."""
+
+    def _case(self, seed=0, n=4096, p=96, o=3, g=2, ck=16, cv=24):
+        rng = np.random.default_rng(seed)
+        mk = rng.standard_normal((n, ck)).astype(np.float32)
+        ms = ((rng.standard_normal((n,)) ** 2) + 1).astype(np.float32)
+        qk = rng.standard_normal((p, ck)).astype(np.float32)
+        qe = (1 / (1 + np.exp(-rng.standard_normal((p, ck))))).astype(
+            np.float32)
+        values = rng.standard_normal((o, n, cv)).astype(np.float32)
+        valid = np.ones((g, n), bool)
+        valid[:, -129:] = False
+        if g > 1:
+            valid[1, :n // 3] = False
+        return mk, ms, qk, qe, values, valid
+
+    def test_matches_single_device(self, mesh8):
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+        from xmem2_tpu.ops import similarity as S
+        from xmem2_tpu.parallel.sharded_readout import (
+            shard_memory_bank, sharded_topk_readout)
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ('memory',))
+        mk, ms, qk, qe, values, valid = self._case()
+        gids = (0, 0, 1)
+        top_k = 30
+
+        # single-device reference
+        sim = S.get_similarity(jnp.asarray(mk), jnp.asarray(ms),
+                               jnp.asarray(qk), jnp.asarray(qe))
+        affs = [S.softmax_w_top(sim, top_k, valid=jnp.asarray(valid[g]))
+                for g in range(valid.shape[0])]
+        ref = jnp.stack([S.readout(affs[g], jnp.asarray(values[o]))
+                         for o, g in enumerate(gids)])
+        ref_usage = jnp.sum(affs[0], axis=0)
+
+        smk, sms, svals, svalid = shard_memory_bank(
+            mesh, mk, ms, values, valid)
+        out, usage = sharded_topk_readout(
+            mesh, smk, sms, jnp.asarray(qk), jnp.asarray(qe), svals, svalid,
+            gids, top_k)
+
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(usage), np.asarray(ref_usage),
+                                   rtol=1e-5, atol=1e-6)
+        # the bank really is distributed; the result really is replicated
+        assert len(smk.sharding.device_set) == 8
+        assert not smk.sharding.is_fully_replicated
+        assert out.sharding.is_fully_replicated
+
+    def test_no_selection_variant(self, mesh8):
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+        from xmem2_tpu.ops import similarity as S
+        from xmem2_tpu.parallel.sharded_readout import (
+            shard_memory_bank, sharded_topk_readout)
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ('memory',))
+        mk, ms, qk, _, values, valid = self._case(seed=3, o=1, g=1)
+        sim = S.get_similarity(jnp.asarray(mk), jnp.asarray(ms),
+                               jnp.asarray(qk), None)
+        ref = S.readout(S.softmax_w_top(sim, 30, valid=jnp.asarray(valid[0])),
+                        jnp.asarray(values[0]))[None]
+
+        smk, sms, svals, svalid = shard_memory_bank(
+            mesh, mk, ms, values, valid)
+        out, _ = sharded_topk_readout(mesh, smk, sms, jnp.asarray(qk), None,
+                                      svals, svalid, (0,), 30)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
