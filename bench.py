@@ -45,7 +45,8 @@ def build(size=480):
 
     cfg = VIDEO_INFERENCE_CONFIG.copy()
     cfg['size'] = size
-    cfg['compute_dtype'] = 'bfloat16'
+    cfg['compute_dtype'] = 'bfloat16'        # the reference benches under fp16
+    cfg['value_store_dtype'] = 'bfloat16'    # autocast (run_on_video.py:75)
     params = init_params(seed=0)
     net = XMemNet(params, compute_dtype=jnp.bfloat16)
     reader = VideoReader('', f'{CHAIR}/JPEGImages', f'{CHAIR}/Annotations',

@@ -267,3 +267,28 @@ class TestFusedReadoutPath:
         np.testing.assert_allclose(
             np.asarray(ours_fused.mm.temp.life_count),
             np.asarray(ours_jnp.mm.temp.life_count), rtol=1e-5, atol=1e-6)
+
+
+class TestBf16ValueStore:
+    """value_store_dtype='bfloat16' (the AMP analog): halves value HBM and
+    readout bandwidth; results stay within bf16 rounding of the f32 path."""
+
+    def test_matches_f32_within_bf16_tolerance(self):
+        cfg32 = make_config(max_mid_term_frames=100)
+        cfg16 = make_config(max_mid_term_frames=100,
+                            value_store_dtype='bfloat16')
+        _, ours32, _, outs32 = run_sequence(cfg32, 4)
+        _, ours16, _, outs16 = run_sequence(cfg16, 4)
+        assert ours16.mm.temp.value.dtype == jnp.bfloat16
+        assert ours32.mm.temp.value.dtype == jnp.float32
+        for i, (a, b) in enumerate(zip(outs16, outs32)):
+            np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2,
+                                       err_msg=f'frame {i}')
+
+    def test_consolidation_keeps_dtype(self):
+        cfg = make_config(value_store_dtype='bfloat16')
+        _, ours, _, outs = run_sequence(cfg, 8)
+        assert ours.mm.long_size > 0
+        assert ours.mm.long.value.dtype == jnp.bfloat16
+        for o in outs:
+            assert np.isfinite(o).all()

@@ -252,6 +252,14 @@ class MemoryManager:
             self.max_long_elements = config['max_long_term_elements']
         self.perm_bucket_frames = config.get('permanent_buffer_frames', 4)
 
+        # memory-value storage dtype: 'bfloat16' halves HBM footprint and
+        # readout bandwidth (the AMP analog of the reference's fp16 autocast,
+        # run_on_video.py:75); 'float32' (default) keeps bit-parity with the
+        # torch-f32 oracle
+        self.value_dtype = jnp.bfloat16 \
+            if str(config.get('value_store_dtype', 'float32')) == 'bfloat16' \
+            else jnp.float32
+
         # host-DRAM spill of evicted long-term elements (SURVEY §5.7)
         self.spill_long_term = bool(config.get('spill_long_term', False))
         self.archive = None
@@ -340,7 +348,8 @@ class MemoryManager:
 
     def _new_store(self, capacity: int) -> StoreBuffers:
         return ST.empty_store(capacity, max(self.num_objects, 1),
-                              max(self.num_groups, 1), self.CK, self.CV)
+                              max(self.num_groups, 1), self.CK, self.CV,
+                              value_dtype=self.value_dtype)
 
     def _ensure_stores(self):
         o, g = max(self.num_objects, 1), max(self.num_groups, 1)
