@@ -173,13 +173,17 @@ def main():
     run_video_device(net, cfg, samples, msk0, labels)
     run_video_device(net, cfg, samples, msk0, labels)
 
-    # best of 3 timed passes (the dev tunnel's latency/bandwidth wobble)
+    # best of 3 timed passes (the dev tunnel's latency/bandwidth wobble);
+    # XMEM2_TRACE_DIR wraps them in a jax.profiler device trace
+    import os
+    from xmem2_tpu.utils.profiling import device_trace
     device_fps, checksum = 0.0, None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        checksum = run_video_device(net, cfg, samples, msk0, labels)
-        dt = time.perf_counter() - t0
-        device_fps = max(device_fps, len(samples) / dt)
+    with device_trace(os.environ.get('XMEM2_TRACE_DIR')):
+        for _ in range(3):
+            t0 = time.perf_counter()
+            checksum = run_video_device(net, cfg, samples, msk0, labels)
+            dt = time.perf_counter() - t0
+            device_fps = max(device_fps, len(samples) / dt)
 
     run_video(net, cfg, samples, msk0, labels)  # warm the download pipeline
     e2e_fps = 0.0

@@ -48,6 +48,9 @@ def main():
                         help='resize shorter side, -1 for original')
     parser.add_argument('--compute_dtype', default='bfloat16',
                         choices=['float32', 'bfloat16'])
+    parser.add_argument('--profile_dir', default=None,
+                        help='write a jax.profiler device trace here '
+                             '(view with tensorboard --logdir)')
     args = parser.parse_args()
 
     import jax
@@ -121,6 +124,9 @@ def main():
     network = XMemNet(params, compute_dtype={
         'float32': jnp.float32, 'bfloat16': jnp.bfloat16}[args.compute_dtype])
 
+    from xmem2_tpu.utils.profiling import device_trace
+    profile_ctx = device_trace(args.profile_dir)
+    profile_ctx.__enter__()
     total_process_time = 0.0
     total_frames = 0
 
@@ -201,6 +207,7 @@ def main():
                     out_img.putpalette(palette)
                 out_img.save(path.join(this_out_path, frame[:-4] + '.png'))
 
+    profile_ctx.__exit__(None, None, None)
     print(f'Total processing time: {total_process_time}')
     print(f'Total processed frames: {total_frames}')
     if total_process_time > 0:
