@@ -27,7 +27,6 @@ from xmem2_tpu.inference.data.mask_mapper import MaskMapper
 from xmem2_tpu.inference.postprocess import unpack_mask
 from xmem2_tpu.utils.image_saver import ParallelImageSaver
 from xmem2_tpu.utils.iou import compute_array_iou
-from xmem2_tpu.utils.resize_np import resize_bilinear_np
 
 
 def _resolve_dtype(name: str):
@@ -105,14 +104,6 @@ def _preload_permanent_memory(frames_to_put_in_permanent_memory: List[int],
                                                   jnp.asarray(msk_aug))
     return at_least_one_mask_loaded, total_preloading_time
 
-
-def _post_process(sample: Sample, prob: jnp.ndarray) -> np.ndarray:
-    """prob [1+O, H, W] -> index mask at the original resolution
-    (reference _post_process :165-173; resize+argmax run on device and only
-    the uint8 mask is transferred)."""
-    from xmem2_tpu.inference.postprocess import prob_to_mask
-    out_hw = tuple(int(x) for x in sample.shape) if sample.need_resize else None
-    return np.asarray(prob_to_mask(prob, out_hw))
 
 
 def _inference_on_video(frames_with_masks, imgs_in_path, masks_in_path,
