@@ -159,7 +159,8 @@ def main():
                 (path.join(static_root, 'ecssd'), 1, 1),
                 (path.join(static_root, 'BIG_small'), 1, 5),
                 (path.join(static_root, 'HRSOD_small'), 1, 5),
-            ], num_frames=config['num_frames'], seed=seed)
+            ], num_frames=config['num_frames'], seed=seed,
+                crop_size=config['crop_size'])
             train_loader = construct_loader(train_dataset)
             print(f'Static dataset size: {len(train_dataset)}')
             increase_skip_fraction = [100]
@@ -172,7 +173,8 @@ def main():
                                 path.join(bl_root, 'Annotations'),
                                 max_skip, is_bl=True,
                                 num_frames=config['num_frames'],
-                                finetune=finetune, seed=seed)
+                                finetune=finetune, seed=seed,
+                                crop_size=config['crop_size'])
                 print(f'Blender dataset size: {len(ds)} (max_skip={max_skip})')
                 return construct_loader(ds)
 
@@ -189,13 +191,15 @@ def main():
                                 path.join(yv_root, 'Annotations'),
                                 max_skip // 5, is_bl=False, subset=load_sub_yv(),
                                 num_frames=config['num_frames'],
-                                finetune=finetune, seed=seed)
+                                finetune=finetune, seed=seed,
+                                crop_size=config['crop_size'])
                 davis = VOSDataset(path.join(davis_root, 'JPEGImages', '480p'),
                                    path.join(davis_root, 'Annotations', '480p'),
                                    max_skip, is_bl=False,
                                    subset=load_sub_davis(),
                                    num_frames=config['num_frames'],
-                                   finetune=finetune, seed=seed)
+                                   finetune=finetune, seed=seed,
+                                   crop_size=config['crop_size'])
                 ds = ConcatDataset([davis] * 5 + [yv])
                 print(f'DAVIS size: {len(davis)}, YouTube size: {len(yv)}, '
                       f'concat: {len(ds)} (max_skip={max_skip})')

@@ -29,6 +29,8 @@ class Configuration:
         parser.add_argument('--hidden_dim', default=64, type=int,
                             help='Set to =0 to disable')
         parser.add_argument('--deep_update_prob', default=0.2, type=float)
+        parser.add_argument('--crop_size', default=384, type=int,
+                            help='training crop (the reference hardcodes 384)')
         parser.add_argument('--stages', default='02',
                             help='0-static images, 1-BL30K, 2/3-DAVIS+YouTubeVOS')
 

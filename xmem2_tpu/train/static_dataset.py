@@ -20,9 +20,11 @@ class StaticTransformDataset:
     """parameters: list of (root, method, multiplier); method 0 = FSS layout
     (class/1.jpg class/1.png), method 1 = flat (XXX.jpg XXX.png)."""
 
-    def __init__(self, parameters, num_frames=3, max_num_obj=1, seed=None):
+    def __init__(self, parameters, num_frames=3, max_num_obj=1, seed=None,
+                 crop_size=384):
         self.num_frames = num_frames
         self.max_num_obj = max_num_obj
+        self.crop_size = crop_size   # reference hardcodes 384
         self.rng = np.random.default_rng(seed)
 
         self.im_list = []
@@ -63,15 +65,17 @@ class StaticTransformDataset:
             if seq_gray:
                 ti = A.apply_grayscale(ti)
 
-            # pair-level: affine + resize 384 + random crop (reference :51-61)
+            # pair-level: affine + resize + random crop (reference :51-61,
+            # 384 there; crop_size here)
+            cs = self.crop_size
             aff = A.sample_affine(rng, degrees=20, scale=(0.9, 1.1), shear=10)
             ti = A.apply_affine(ti, aff, 'bicubic', fill=A.IM_MEAN)
             tg = A.apply_affine(tg, aff, 'nearest', fill=0)
-            ti = A.resize_shorter(ti, 384, 'bicubic')
-            tg = A.resize_shorter(tg, 384, 'nearest')
-            crop = A.sample_crop(rng, ti.size, (384, 384))
-            ti = A.apply_crop(ti, crop, (384, 384), fill=A.IM_MEAN)
-            tg = A.apply_crop(tg, crop, (384, 384), fill=0)
+            ti = A.resize_shorter(ti, cs, 'bicubic')
+            tg = A.resize_shorter(tg, cs, 'nearest')
+            crop = A.sample_crop(rng, ti.size, (cs, cs))
+            ti = A.apply_crop(ti, crop, (cs, cs), fill=A.IM_MEAN)
+            tg = A.apply_crop(tg, crop, (cs, cs), fill=0)
             ti = A.apply_color_jitter(
                 ti, A.sample_color_jitter(rng, 0.1, 0.05, 0.05, 0))
 
@@ -89,7 +93,8 @@ class StaticTransformDataset:
         indices = [idx] + list(rng.integers(len(self), size=additional_objects))
 
         merged_images = None
-        merged_masks = np.zeros((self.num_frames, 384, 384), np.int32)
+        cs = self.crop_size
+        merged_masks = np.zeros((self.num_frames, cs, cs), np.int32)
         for i, list_id in enumerate(indices):
             images, masks = self._get_sample(int(list_id))
             m = masks[..., None]
@@ -103,8 +108,8 @@ class StaticTransformDataset:
         labels = labels[labels != 0]
         target_objects = labels.tolist()
 
-        cls_gt = np.zeros((self.num_frames, 384, 384), np.int32)
-        first_frame_gt = np.zeros((1, self.max_num_obj, 384, 384), np.float32)
+        cls_gt = np.zeros((self.num_frames, cs, cs), np.int32)
+        first_frame_gt = np.zeros((1, self.max_num_obj, cs, cs), np.float32)
         for i, l in enumerate(target_objects):
             this_mask = merged_masks == l
             cls_gt[this_mask] = i + 1

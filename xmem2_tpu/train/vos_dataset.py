@@ -21,7 +21,9 @@ from xmem2_tpu.train import augs as A
 
 class VOSDataset:
     def __init__(self, im_root, gt_root, max_jump, is_bl, subset=None,
-                 num_frames=3, max_num_obj=3, finetune=False, seed=None):
+                 num_frames=3, max_num_obj=3, finetune=False, seed=None,
+                 crop_size=384):
+        self.crop_size = crop_size   # reference hardcodes 384
         self.im_root = im_root
         self.gt_root = gt_root
         self.max_jump = max_jump
@@ -59,8 +61,9 @@ class VOSDataset:
         if seq['hflip']:
             im, gt = A.apply_hflip(im), A.apply_hflip(gt)
         crop = A.sample_resized_crop(rng, im.size, scale=self.crop_scale)
-        im = A.apply_resized_crop(im, crop, (384, 384), 'bilinear')
-        gt = A.apply_resized_crop(gt, crop, (384, 384), 'nearest')
+        cs = self.crop_size
+        im = A.apply_resized_crop(im, crop, (cs, cs), 'bilinear')
+        gt = A.apply_resized_crop(gt, crop, (cs, cs), 'nearest')
         im = A.apply_color_jitter(im, seq['jitter'])
         if seq['gray']:
             im = A.apply_grayscale(im)
@@ -149,8 +152,9 @@ class VOSDataset:
         info['num_objects'] = max(1, len(target_objects))
 
         masks = np.stack(masks, 0)
-        cls_gt = np.zeros((self.num_frames, 384, 384), np.int32)
-        first_frame_gt = np.zeros((1, self.max_num_obj, 384, 384), np.float32)
+        cs = self.crop_size
+        cls_gt = np.zeros((self.num_frames, cs, cs), np.int32)
+        first_frame_gt = np.zeros((1, self.max_num_obj, cs, cs), np.float32)
         for i, l in enumerate(target_objects):
             this_mask = masks == l
             cls_gt[this_mask] = i + 1
