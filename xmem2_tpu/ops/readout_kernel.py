@@ -209,7 +209,17 @@ def block_topk_candidates(sim: jnp.ndarray, valid: jnp.ndarray, k: int,
 
 
 def _topk_stats_fused(sims, valids, top_k: int, interpret: bool):
-    """tau/rmax/invz via the Pallas candidate kernel + a narrow XLA merge."""
+    """tau/rmax/invz via the Pallas candidate kernel, merge included.
+
+    The obvious merge — `lax.top_k(merged, k)` — is a perf trap: the stats
+    consumers (slice row 0 / row k-1 / exp-sum over the last axis) make XLA's
+    layout assignment put the sorted axis minor ({2,0,1:T(1,128)}), and a
+    lane-minor sort runs ~10x slower than the sublane-tiled one (~5 ms vs
+    ~0.5 ms at P=1350, M=330 on v5e). The candidate kernel's iterative-max
+    extraction has a pinned custom-call layout and identical top-k-value
+    semantics (exactly k slots, tie multiplicities), so it does the merge
+    rounds too: each round maps width M -> ceil(M/BN)*k, and the final
+    single-block round leaves the k values sorted descending."""
     g = valids[0].shape[0]
     total_n = sum(s.shape[-1] for s in sims)
     k = min(top_k, total_n)
@@ -221,7 +231,17 @@ def _topk_stats_fused(sims, valids, top_k: int, interpret: bool):
         cands.append(c)                                   # [G, P, nb*kk]
     merged = jnp.concatenate(cands, axis=-1)              # [G, P, sum]
 
-    vals = jax.lax.top_k(merged, k)[0]                    # [G, P, k] desc
+    # merge rounds (always >= 1, so the k survivors come out sorted desc);
+    # width shrinks strictly while > BN, then one single-block round ends it
+    while True:
+        ones = jnp.ones((1, merged.shape[-1]), bool)
+        merged = jnp.stack([
+            block_topk_candidates(merged[gi], ones, k, interpret=interpret)[0]
+            for gi in range(g)
+        ])                                                # [G, P, nb*k]
+        if merged.shape[-1] == k:
+            break
+    vals = merged                                         # [G, P, k] desc
     rmax = vals[..., 0]
     z = jnp.sum(jnp.exp(vals - rmax[..., None]), axis=-1)
     tau = vals[..., -1]
