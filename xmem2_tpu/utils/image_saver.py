@@ -6,15 +6,20 @@ background worker processes so they overlap with device compute; a `workers=0`
 mode degrades to synchronous writes (useful on single-core test machines).
 """
 
+import multiprocessing
 import os
-import queue
 import time
-from multiprocessing import Process, Queue, Value
 from pathlib import Path
 from typing import Optional, Tuple
 
 import numpy as np
 from PIL import Image
+
+# 'spawn' children, not fork: the parent runs JAX's thread pools, and a
+# fork()ed child inherits their locked mutexes — PIL/numpy calls in the
+# worker then deadlock (and dropped writes fail the save). Spawned workers
+# start clean; startup cost (~100 ms, once per video) overlaps compute.
+_MP = multiprocessing.get_context('spawn')
 
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
@@ -97,27 +102,24 @@ def save_image(img: Image.Image, frame_name, video_name, general_dir_path,
     img.save(os.path.join(out_dir, frame_name[:-4] + extension))
 
 
-def _mask_worker(q, finished, vid_name, out_path):
+def _mask_worker(q, vid_name, out_path):
+    # blocking get + None sentinel: the queue is FIFO, so every enqueued item
+    # is saved before the shutdown sentinel is seen — no drain race against
+    # the parent's feeder thread
     while True:
-        try:
-            mask, frame_name, subdir, ext = q.get_nowait()
-        except queue.Empty:
-            if finished.value:
-                return
-            time.sleep(0.05)
-            continue
+        item = q.get()
+        if item is None:
+            return
+        mask, frame_name, subdir, ext = item
         save_image(mask, frame_name, vid_name, out_path, subdir, ext)
 
 
-def _overlay_worker(q, finished, vid_name, out_path, object_color):
+def _overlay_worker(q, vid_name, out_path, object_color):
     while True:
-        try:
-            orig, mask, frame_name, subdir, ext = q.get_nowait()
-        except queue.Empty:
-            if finished.value:
-                return
-            time.sleep(0.05)
-            continue
+        item = q.get()
+        if item is None:
+            return
+        orig, mask, frame_name, subdir, ext = item
         ov = create_overlay(orig, mask, color_if_black_and_white=object_color)
         save_image(ov, frame_name, vid_name, out_path, subdir, ext)
 
@@ -136,11 +138,11 @@ class ParallelImageSaver:
         self._object_color = overlay_color_if_b_and_w
         self._workers = workers
         if workers > 0:
-            self._mask_queue: Queue = Queue(max_queue_size)
-            self._overlay_queue: Queue = Queue(max_queue_size)
-            self._finished = Value('b', False)
-        self._mask_proc: Optional[Process] = None
-        self._overlay_proc: Optional[Process] = None
+            self._mask_queue = _MP.Queue(max_queue_size)
+            self._overlay_queue = _MP.Queue(max_queue_size)
+        self._mask_proc = None
+        self._overlay_proc = None
+        self._closed = False
 
     def save_mask(self, mask: Image.Image, frame_name: str):
         if self._workers == 0:
@@ -149,10 +151,10 @@ class ParallelImageSaver:
             return
         self._mask_queue.put((mask, frame_name, 'masks', '.png'))
         if self._mask_proc is None:
-            self._mask_proc = Process(
+            self._mask_proc = _MP.Process(
                 target=_mask_worker,
-                args=(self._mask_queue, self._finished, self._vid_name,
-                      self._p_out), daemon=True)
+                args=(self._mask_queue, self._vid_name, self._p_out),
+                daemon=True)
             self._mask_proc.start()
 
     def save_overlay(self, orig_img: Image.Image, mask: Image.Image,
@@ -165,10 +167,10 @@ class ParallelImageSaver:
             return
         self._overlay_queue.put((orig_img, mask, frame_name, 'overlay', '.jpg'))
         if self._overlay_proc is None:
-            self._overlay_proc = Process(
+            self._overlay_proc = _MP.Process(
                 target=_overlay_worker,
-                args=(self._overlay_queue, self._finished, self._vid_name,
-                      self._p_out, self._object_color), daemon=True)
+                args=(self._overlay_queue, self._vid_name, self._p_out,
+                      self._object_color), daemon=True)
             self._overlay_proc.start()
 
     def qsize(self) -> Tuple[int, int]:
@@ -181,17 +183,31 @@ class ParallelImageSaver:
 
     def __exit__(self, exc_type, exc_value, exc_tb):
         if exc_type is not None:
-            for p in (self._mask_proc, self._overlay_proc):
-                if p is not None:
-                    p.kill()
+            self._teardown(kill=True)
             return False
         self.wait_for_jobs_to_finish(verbose=False)
         return False
 
-    def wait_for_jobs_to_finish(self, verbose: bool = False):
-        if self._workers == 0:
+    def _teardown(self, kill: bool):
+        if self._workers == 0 or self._closed:
             return
-        self._finished.value = True
+        self._closed = True
+        for p in (self._mask_proc, self._overlay_proc):
+            if p is not None and kill:
+                p.kill()
+        # drop any unflushed feeder-buffer data so interpreter shutdown never
+        # blocks joining a feeder thread whose reader process is gone
+        for q in (self._mask_queue, self._overlay_queue):
+            q.cancel_join_thread()
+            q.close()
+
+    def wait_for_jobs_to_finish(self, verbose: bool = False):
+        if self._workers == 0 or self._closed:
+            return
+        for q, p in ((self._mask_queue, self._mask_proc),
+                     (self._overlay_queue, self._overlay_proc)):
+            if p is not None:
+                q.put(None)                      # shutdown sentinel
         if verbose:
             while True:
                 m, o = self.qsize()
@@ -203,5 +219,6 @@ class ParallelImageSaver:
         for p in (self._mask_proc, self._overlay_proc):
             if p is not None:
                 p.join()
+        self._teardown(kill=False)
         if verbose:
             print('All saving jobs finished')
