@@ -8,6 +8,9 @@ Fixes the reference's latent eval.py:233 bug (VideoReader.get_palette did not
 exist; ours does).
 """
 
+from xmem2_tpu.utils.platform import honor_jax_platforms_env
+honor_jax_platforms_env()  # JAX_PLATFORMS env wins over sitecustomize
+
 import os
 import time
 from argparse import ArgumentParser

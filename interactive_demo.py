@@ -2,6 +2,9 @@
 loads XMem + S2M + fBRS checkpoints, a workspace ResourceManager, and the Qt
 App. Requires PyQt5 (the engine and Python API do not)."""
 
+from xmem2_tpu.utils.platform import honor_jax_platforms_env
+honor_jax_platforms_env()  # JAX_PLATFORMS env wins over sitecustomize
+
 import sys
 from argparse import ArgumentParser
 

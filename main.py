@@ -1,5 +1,8 @@
 """API usage examples (parity with reference main.py:5-43)."""
 
+from xmem2_tpu.utils.platform import honor_jax_platforms_env
+honor_jax_platforms_env()  # JAX_PLATFORMS env wins over sitecustomize
+
 import os
 
 from xmem2_tpu.inference.run_on_video import (

@@ -2,6 +2,9 @@
 process_video.py:8-30: frame numbers are extracted from the mask filenames
 via regex and fed to run_on_video as the annotated frames."""
 
+from xmem2_tpu.utils.platform import honor_jax_platforms_env
+honor_jax_platforms_env()  # JAX_PLATFORMS env wins over sitecustomize
+
 import os
 import re
 from argparse import ArgumentParser

@@ -8,6 +8,9 @@ equivalent): compare annotation-frame selection strategies by final IoU/J&F.
 Layout expectation per video: <root>/<video>/{JPEGImages,Annotations}/.
 """
 
+from xmem2_tpu.utils.platform import honor_jax_platforms_env
+honor_jax_platforms_env()  # JAX_PLATFORMS env wins over sitecustomize
+
 import json
 import os
 from argparse import ArgumentParser

@@ -36,6 +36,10 @@ def static_root(tmp_path_factory):
 @pytest.mark.slow
 def test_stage0_smoke(static_root, tmp_path):
     env = dict(os.environ, JAX_PLATFORMS='cpu')
+    # drop conftest's 8-virtual-device flag: batch 1 on a 1-device mesh
+    env['XLA_FLAGS'] = ' '.join(
+        f for f in env.get('XLA_FLAGS', '').split()
+        if 'xla_force_host_platform_device_count' not in f)
     r = subprocess.run(
         [sys.executable, 'train.py', '--stages', '0',
          '--static_root', str(static_root),

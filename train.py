@@ -10,6 +10,9 @@ all-reduce is inserted by XLA. One host process drives all local chips
 (multi-host: jax.distributed.initialize handles the rest — each host runs
 this same script)."""
 
+from xmem2_tpu.utils.platform import honor_jax_platforms_env
+honor_jax_platforms_env()  # JAX_PLATFORMS env wins over sitecustomize
+
 import datetime
 import math
 from os import path

@@ -104,6 +104,102 @@ def _plain_frame_step(params, image, temp, perm, long, hidden, acc=None, *,
     return res, temp, long, hidden_new, key, shrinkage, selection, packed, acc
 
 
+@partial(jax.jit, static_argnames=('size', 'dtype_name', 'group_ids',
+                                   'top_k', 'use_long', 'count_usage',
+                                   'count_long_usage', 'fused', 'interpret',
+                                   'used_caps', 'use_perm', 'pack_hw',
+                                   'has_acc'))
+def _chunk_frame_step(params, images, temp, perm, long, hidden, acc, *,
+                      size, dtype_name, group_ids, top_k, use_long,
+                      count_usage, count_long_usage, fused, interpret,
+                      used_caps, use_perm, pack_hw, has_acc):
+    """A run of k mask-less steady frames as ONE compiled program.
+
+    lax.scan over the stacked frames [k, H0, W0, 3]; the carry holds only
+    what a plain frame actually mutates — the hidden state, the usage
+    statistics of the counted stores, and the optional checksum — while the
+    big key/value buffers ride through as loop invariants (XLA keeps them
+    in place, no per-iteration copies). One dispatch per k frames instead of
+    one per frame: the per-dispatch cost (multi-ms over a tunneled TPU,
+    ~100us host-attached) amortizes by k. A TPU-native capability with no
+    reference analog (the torch loop pays Python+launch per frame,
+    inference/inference_core.py:62).
+
+    Plain frames never append or consolidate (reference step :114 runs those
+    only on memory frames), so store sizes — and with them the static
+    used_caps bucketing — are chunk-invariant by construction.
+
+    Returns (packed [k, ...], temp', long', hidden', acc')."""
+    from xmem2_tpu.inference.postprocess import prob_to_mask_packed
+    from xmem2_tpu.inference.preprocess import preprocess_frame
+
+    dtype = jnp.bfloat16 if dtype_name == 'bfloat16' else None
+
+    # key encoding is memory-independent, so it runs OUTSIDE the scan as one
+    # batch-k convolution pass — batch=1 convs underutilize the MXU; batching
+    # the whole run recovers most of that. Only the memory-dependent part
+    # (match -> segment -> pack), which carries the GRU hidden state, scans.
+    if images.dtype == jnp.uint8:
+        images = jax.vmap(lambda im: preprocess_frame(im, size))(images)
+    images, pad = pad_divide_by(images, 16)
+    keys, _, selections, f16s, f8s, f4s = XN.encode_key(
+        params, images, dtype=dtype)
+    has_sel = selections is not None
+
+    def body(carry, xs):
+        if has_sel:
+            key, selection, f16, f8, f4 = xs
+        else:
+            key, f16, f8, f4 = xs
+            selection = None
+        t_use, t_life, l_use, l_life, hidden, acc = carry
+        temp_i = temp._replace(use_count=t_use, life_count=t_life)
+        long_i = (long._replace(use_count=l_use, life_count=l_life)
+                  if use_long else None)
+
+        ck = key.shape[-1]
+        qk = key.reshape(-1, ck)
+        qe = selection.reshape(-1, ck) if selection is not None else None
+        out, temp_o, long_o = _match_kernel(
+            temp_i, perm, long_i, qk, qe,
+            group_ids=group_ids, top_k=top_k, use_long=use_long,
+            count_usage=count_usage, count_long_usage=count_long_usage,
+            fused=fused, interpret=interpret, used_caps=used_caps,
+            use_perm=use_perm)
+        n_obj = out.shape[0]
+        h16, w16 = key.shape[0:2]
+        readout = out.reshape(n_obj, h16, w16, -1)[None]
+
+        hidden, _, prob = XN.segment(params, (f16[None], f8[None], f4[None]),
+                                     readout, hidden,
+                                     h_out=True, strip_bg=False, dtype=dtype)
+
+        res = unpad(jnp.moveaxis(prob[0], 0, -1), pad)
+        res = jnp.moveaxis(res, -1, 0)
+        packed = prob_to_mask_packed(res, pack_hw)
+        if has_acc:
+            acc = acc + jnp.sum(packed.astype(jnp.uint32))
+        carry = (temp_o.use_count, temp_o.life_count,
+                 long_o.use_count if use_long else l_use,
+                 long_o.life_count if use_long else l_life,
+                 hidden, acc)
+        return carry, packed
+
+    init = (temp.use_count, temp.life_count,
+            long.use_count if use_long else jnp.zeros((), jnp.float32),
+            long.life_count if use_long else jnp.zeros((), jnp.float32),
+            hidden,
+            acc if has_acc else jnp.zeros((), jnp.uint32))
+    xs = ((keys, selections, f16s, f8s, f4s) if has_sel
+          else (keys, f16s, f8s, f4s))
+    (t_use, t_life, l_use, l_life, hidden, acc), packs = jax.lax.scan(
+        body, init, xs)
+    temp = temp._replace(use_count=t_use, life_count=t_life)
+    if use_long:
+        long = long._replace(use_count=l_use, life_count=l_life)
+    return packs, temp, long, hidden, (acc if has_acc else None)
+
+
 class InferenceCore:
     def __init__(self, network: XMemNet, config: dict):
         self.config = config
@@ -308,6 +404,55 @@ class InferenceCore:
                 acc = acc + jnp.sum(packed.astype(jnp.uint32))
             return res, packed, acc
         return res
+
+    def plain_run_length(self) -> int:
+        """How many upcoming frames are guaranteed steady-state (no memory
+        append, no deep update, no mask) — the longest prefix step_chunk may
+        take. 0 when the fast chunk path cannot run (memory not engaged yet).
+        The caller must still stop short of the video's final frame (`end`
+        semantics) and of any frame it wants to provide a mask for."""
+        import os
+        if (self.all_labels is None
+                or not self.memory.work_mem_engaged
+                or self.memory.get_hidden() is None
+                or os.environ.get('XMEM2_FAST_STEP', '1') == '0'):
+            return 0
+        nxt = self.curr_ti + 1
+        next_mem = self.last_mem_ti + self.mem_every
+        run_end = next_mem
+        if not self.deep_update_sync:
+            run_end = min(run_end,
+                          self.last_deep_update_ti + self.deep_update_every)
+        return max(run_end - nxt, 0)
+
+    def step_chunk(self, images: jnp.ndarray, pack_hw, acc=None):
+        """Process k consecutive steady-state frames in ONE device dispatch.
+
+        images: [k, H, W, 3] float (normalized) or raw uint8 stack, with
+        k <= plain_run_length(). Equivalent to k successive step() calls on
+        plain frames; returns (packed [k, ...], acc')."""
+        k = int(images.shape[0])
+        avail = self.plain_run_length()
+        if not (0 < k <= avail):
+            raise ValueError(
+                f'step_chunk of {k} frames, but only {avail} plain frames '
+                f'are available before the next memory/deep-update event')
+        mm = self.memory
+        cfg = mm.match_static_config(False)
+        packs, temp, long, hidden, acc = _chunk_frame_step(
+            self.network.params, images, mm.temp, mm.perm,
+            mm.long if cfg['use_long'] else None, mm.get_hidden(), acc,
+            size=self.size,
+            dtype_name=getattr(self.network.dtype, '__name__',
+                               str(self.network.dtype)),
+            pack_hw=pack_hw, has_acc=acc is not None, **cfg)
+        if cfg['count_usage']:
+            mm.temp = temp
+        if cfg['count_long_usage']:
+            mm.long = long
+        mm.set_hidden(hidden)
+        self.curr_ti += k
+        return packs, acc
 
     def put_to_permanent_memory(self, image: jnp.ndarray, mask: jnp.ndarray,
                                 ti: Optional[int] = None) -> bool:
