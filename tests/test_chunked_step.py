@@ -110,6 +110,52 @@ def test_chunked_matches_per_frame():
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_run_on_video_chunked_matches(tmp_path):
+    """config['chunk_frames']=True must yield the same masks as the default
+    per-frame production loop."""
+    import shutil
+    from pathlib import Path
+    from PIL import Image
+    from test_e2e_parity import CHAIR, SIZE, build_synth_params
+    from xmem2_tpu.bridge.torch_params import save_params, convert_state_dict
+    from xmem2_tpu.inference import run_on_video as R
+
+    imgs = tmp_path / 'imgs'
+    anns = tmp_path / 'anns'
+    imgs.mkdir()
+    anns.mkdir()
+    n = 10
+    for i in range(n):
+        f = f'frame_{i:06d}.jpg'
+        shutil.copy(Path(CHAIR) / 'JPEGImages' / f, imgs / f)
+    shutil.copy(Path(CHAIR) / 'Annotations' / 'frame_000000.png',
+                anns / 'frame_000000.png')
+
+    _, _, sd = build_synth_params()
+    ckpt = tmp_path / 'synth.npz'
+    save_params(convert_state_dict(sd), str(ckpt))
+    base = {'model': str(ckpt), 'size': SIZE, 'mem_every': 3,
+            'save_masks': True}
+
+    outs = {}
+    for tag, chunked in (('plain', False), ('chunked', True)):
+        out = tmp_path / f'out_{tag}'
+        over = dict(base, chunk_frames=chunked)
+        stats = R.run_on_video(str(imgs), str(anns), str(out),
+                               frames_with_masks=[0], print_progress=False,
+                               save_overlay=False, overwrite_config=over)
+        assert len(stats) == n
+        outs[tag] = sorted((out / 'masks').glob('*.png'))
+        assert len(outs[tag]) == n
+
+    for pa, pb in zip(outs['plain'], outs['chunked']):
+        a = np.asarray(Image.open(pa))
+        b = np.asarray(Image.open(pb))
+        agree = float(np.mean(a == b))
+        assert agree >= 0.999, f'{pa.name}: {agree:.4f}'
+
+
 def test_chunk_rejects_oversized_run():
     n = 6
     frames, mask0 = _video(n)

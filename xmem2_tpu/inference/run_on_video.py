@@ -141,14 +141,68 @@ def _inference_on_video(frames_with_masks, imgs_in_path, masks_in_path,
     if not at_least_one_mask_loaded:
         raise ValueError('No valid masks provided!')
 
+    # chunked stepping (config['chunk_frames']=True / XMEM2_CHUNKED=1): runs
+    # of plain frames execute as one compiled program (InferenceCore.
+    # step_chunk) — a TPU dispatch-amortization path with identical
+    # semantics; disabled under the flag combos it cannot honor
+    use_chunks = bool(config.get(
+        'chunk_frames', os.environ.get('XMEM2_CHUNKED', '0') == '1'))
+    use_chunks &= not manually_curated_masks
+
     stats = []
     total_processing_time = 0.0
     with ParallelImageSaver(
             config['masks_out_path'], vid_name=vid_name,
             overlay_color_if_b_and_w=object_color_if_single_object,
             max_queue_size=image_saving_max_queue_size) as im_saver:
-        for ti, sample in enumerate(tqdm(vid_reader, total=vid_length,
-                                         disable=not print_progress)):
+
+        def finish_frame(ti, sample, out_mask, mask_provided, dt):
+            nonlocal total_processing_time
+            total_processing_time += dt
+            curr_stat = {'frame': sample.frame, 'mask_provided': mask_provided}
+            if compute_iou:
+                gt = sample.mask  # original-resolution GT or None
+                if gt is not None and not mask_provided:
+                    curr_stat['iou'] = float(compute_array_iou(out_mask, gt))
+                else:
+                    curr_stat['iou'] = -1  # model saw this GT; skip
+            stats.append(curr_stat)
+
+            if config['save_masks']:
+                out_mask = mapper.remap_index_mask(out_mask)
+                out_img = Image.fromarray(out_mask)
+                out_img = vid_reader.map_the_colors_back(out_img)
+                im_saver.save_mask(mask=out_img, frame_name=sample.frame)
+                if save_overlay:
+                    im_saver.save_overlay(orig_img=sample.raw_image_pil,
+                                          mask=out_img, frame_name=sample.frame)
+
+        progress = tqdm(total=vid_length, disable=not print_progress)
+        ti = 0
+        while ti < vid_length:
+            sample = vid_reader[ti]
+            out_hw = tuple(int(x) for x in sample.shape)
+
+            # how many upcoming frames can go through one chunk dispatch
+            k = 0
+            if use_chunks and ti not in frames_with_masks:
+                k = min(processor.plain_run_length(), vid_length - 1 - ti)
+                while any((ti + j) in frames_with_masks for j in range(k)):
+                    k -= 1
+            if k > 1:
+                chunk = [sample] + [vid_reader[ti + j] for j in range(1, k)]
+                a = perf_counter()
+                stack = jnp.asarray(np.stack([s.rgb for s in chunk]))
+                packs, _ = processor.step_chunk(stack, pack_hw=out_hw)
+                packs = np.asarray(packs)
+                dt = (perf_counter() - a) / k
+                for j, s in enumerate(chunk):
+                    finish_frame(ti + j, s, unpack_mask(packs[j], out_hw[1]),
+                                 False, dt)
+                progress.update(k)
+                ti += k
+                continue
+
             if ti in frames_with_masks:
                 msk = sample.mask
             else:
@@ -171,32 +225,17 @@ def _inference_on_video(frames_with_masks, imgs_in_path, masks_in_path,
             a = perf_counter()
             # resize-back + argmax + 4-bit pack run inside the step's compiled
             # program; only the packed index mask crosses device->host
-            out_hw = tuple(int(x) for x in sample.shape)
             _, packed, _ = processor.step(
                 jnp.asarray(sample.rgb), msk, labels, end=(ti == vid_length - 1),
                 manually_curated_masks=manually_curated_masks,
                 do_not_add_mask_to_memory=do_not_add_mask_to_memory,
                 pack_hw=out_hw)
             out_mask = unpack_mask(packed, out_hw[1])
-            total_processing_time += perf_counter() - a
-
-            curr_stat = {'frame': sample.frame, 'mask_provided': msk is not None}
-            if compute_iou:
-                gt = sample.mask  # original-resolution GT or None
-                if gt is not None and msk is None:
-                    curr_stat['iou'] = float(compute_array_iou(out_mask, gt))
-                else:
-                    curr_stat['iou'] = -1  # model saw this GT; skip
-            stats.append(curr_stat)
-
-            if config['save_masks']:
-                out_mask = mapper.remap_index_mask(out_mask)
-                out_img = Image.fromarray(out_mask)
-                out_img = vid_reader.map_the_colors_back(out_img)
-                im_saver.save_mask(mask=out_img, frame_name=sample.frame)
-                if save_overlay:
-                    im_saver.save_overlay(orig_img=sample.raw_image_pil,
-                                          mask=out_img, frame_name=sample.frame)
+            finish_frame(ti, sample, out_mask, msk is not None,
+                         perf_counter() - a)
+            progress.update(1)
+            ti += 1
+        progress.close()
         im_saver.wait_for_jobs_to_finish(verbose=print_progress)
 
     if print_fps:
