@@ -51,6 +51,10 @@ def main():
                         help='resize shorter side, -1 for original')
     parser.add_argument('--compute_dtype', default='bfloat16',
                         choices=['float32', 'bfloat16'])
+    parser.add_argument('--chunked', action='store_true',
+                        help='Run plain-frame runs as one compiled program '
+                             '(InferenceCore.step_chunk): amortizes '
+                             'per-dispatch cost on host-attached TPUs')
     parser.add_argument('--profile_dir', default=None,
                         help='write a jax.profiler device trace here '
                              '(view with tensorboard --logdir)')
@@ -146,8 +150,25 @@ def main():
         mapper = MaskMapper()
         processor = InferenceCore(network, config=config)
         first_mask_loaded = False
+        last_chunked_ti = -1
 
-        for ti, sample in enumerate(vid_reader):
+        def save_frame(sample, out_mask):
+            if args.save_all or sample.save:
+                this_out_path = path.join(out_path, vid_name)
+                os.makedirs(this_out_path, exist_ok=True)
+                out_mask = mapper.remap_index_mask(out_mask)
+                out_img = Image.fromarray(out_mask)
+                palette = vid_reader.get_palette()
+                if palette is not None:
+                    out_img.putpalette(palette)
+                out_img.save(
+                    path.join(this_out_path, sample.frame[:-4] + '.png'))
+
+        ti = -1
+        for sample in vid_reader:
+            ti += 1
+            if ti <= last_chunked_ti:
+                continue  # consumed by a chunk below
             frame = sample.frame
             shape = sample.shape
             need_resize = sample.need_resize
@@ -160,6 +181,29 @@ def main():
                     first_mask_loaded = True
                 else:
                     continue  # no point segmenting before the first mask
+
+            # chunked fast path: a run of mask-less steady frames in one
+            # dispatch (plain_run_length grows only after memory engages)
+            if (args.chunked and not args.save_scores and msk is None):
+                k = min(processor.plain_run_length(), vid_length - 1 - ti)
+                chunk = [sample]
+                for j in range(1, k):
+                    s = vid_reader[ti + j]
+                    if s.mask is not None:
+                        break
+                    chunk.append(s)
+                if len(chunk) > 1:
+                    from xmem2_tpu.inference.postprocess import unpack_mask
+                    out_hw = tuple(int(x) for x in shape)
+                    stack = jnp.asarray(np.stack([s.rgb for s in chunk]))
+                    packs, _ = processor.step_chunk(stack, pack_hw=out_hw)
+                    packs = np.asarray(packs)
+                    total_process_time += time.perf_counter() - a
+                    total_frames += len(chunk)
+                    for j, s in enumerate(chunk):
+                        save_frame(s, unpack_mask(packs[j], out_hw[1]))
+                    last_chunked_ti = ti + len(chunk) - 1
+                    continue
 
             if msk is not None:
                 msk, labels = mapper.convert_mask(msk,
@@ -200,15 +244,7 @@ def main():
                     path.join(prob_dir, f'backward_{frame[:-4]}.npz'),
                     prob=(prob_np * 255).astype(np.uint8))
 
-            if args.save_all or sample.save:
-                this_out_path = path.join(out_path, vid_name)
-                os.makedirs(this_out_path, exist_ok=True)
-                out_mask = mapper.remap_index_mask(out_mask)
-                out_img = Image.fromarray(out_mask)
-                palette = vid_reader.get_palette()
-                if palette is not None:
-                    out_img.putpalette(palette)
-                out_img.save(path.join(this_out_path, frame[:-4] + '.png'))
+            save_frame(sample, out_mask)
 
     profile_ctx.__exit__(None, None, None)
     print(f'Total processing time: {total_process_time}')

@@ -65,3 +65,29 @@ def test_eval_generic(mini_generic, tmp_path):
     assert len(scores) == 5
     with np.load(scores[0]) as z:
         assert z['prob'].ndim == 3
+
+
+@pytest.mark.slow
+def test_eval_chunked_matches(mini_generic, tmp_path):
+    """--chunked (step_chunk runs) produces the same masks as the per-frame
+    loop."""
+    root, ckpt = mini_generic
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    outs = {}
+    for tag, extra in (('plain', []), ('chunked', ['--chunked'])):
+        out = tmp_path / tag
+        r = subprocess.run(
+            [sys.executable, 'eval.py', '--dataset', 'G',
+             '--generic_path', str(root), '--model', str(ckpt),
+             '--output', str(out), '--size', '144', '--save_all',
+             '--compute_dtype', 'float32'] + extra,
+            capture_output=True, text=True, timeout=500,
+            cwd=str(Path(__file__).parent.parent), env=env)
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[tag] = sorted((out / 'chair').glob('*.png'))
+        assert len(outs[tag]) == 5
+
+    for pa, pb in zip(outs['plain'], outs['chunked']):
+        a = np.asarray(Image.open(pa))
+        b = np.asarray(Image.open(pb))
+        assert float(np.mean(a == b)) >= 0.999, pa.name
