@@ -20,6 +20,13 @@ Two captured metrics:
     downloads (6-frame async window). On the tunneled dev TPU this is
     d2h-bound (~5-10 MB/s); on host-attached hardware it converges to the
     device rate.
+  * chair_480p_device_fps_chunked: steady-state runs scanned in one dispatch
+    (InferenceCore.step_chunk); the primary metric takes the best of the
+    per-frame and chunked pipelines.
+  * caps_2obj_480p_device_fps: 2-object multi-group matching/decoding.
+  * chair_480p_p50_frame_latency_ms: depth-1-pipeline per-frame latency
+    (BASELINE.md rebuild target); tunnel-RTT-bound on the dev chip.
+  * longvideo_480p_device_fps: 300-frame consolidation/eviction regime.
 
 Prints ONE JSON line; the primary metric fills {"metric", "value", "unit",
 "vs_baseline"} and the secondary ride in "extra_metrics".
@@ -32,9 +39,10 @@ import numpy as np
 
 BASELINE_FPS = 30.0  # reference README.md:63 (RTX 3090)
 CHAIR = '/root/reference/example_videos/chair'
+CAPS = '/root/reference/example_videos/caps'
 
 
-def build(size=480):
+def build(size=480, video=CHAIR):
     import jax.numpy as jnp
     from xmem2_tpu.config import VIDEO_INFERENCE_CONFIG
     from xmem2_tpu.models.init import init_params
@@ -49,7 +57,7 @@ def build(size=480):
     cfg['value_store_dtype'] = 'bfloat16'    # autocast (run_on_video.py:75)
     params = init_params(seed=0)
     net = XMemNet(params, compute_dtype=jnp.bfloat16)
-    reader = VideoReader('', f'{CHAIR}/JPEGImages', f'{CHAIR}/Annotations',
+    reader = VideoReader('', f'{video}/JPEGImages', f'{video}/Annotations',
                          size=size, use_all_masks=False)
     samples = [reader[i] for i in range(len(reader))]
 
@@ -173,6 +181,35 @@ def run_video_device_chunked(net, cfg, samples, msk0, labels):
     return int(acc)
 
 
+def run_video_device_latency(net, cfg, samples, msk0, labels):
+    """Per-frame latency: each frame's checksum is fetched before the next
+    frame is submitted (depth-1 pipeline). On the tunneled dev chip this is
+    dominated by the ~25-30 ms host<->device round-trip; on host-attached
+    hardware it converges to per-frame device time. Returns the list of
+    per-frame seconds (steady-state frames only, first 10 skipped)."""
+    import jax.numpy as jnp
+    from xmem2_tpu.inference.core import InferenceCore
+    proc = InferenceCore(net, config=dict(cfg))
+    proc.set_all_labels(labels)
+    m0 = jnp.asarray(msk0)
+    frames = _staged_frames(samples)
+    acc = jnp.zeros((), jnp.uint32)
+    times = []
+    for ti, s in enumerate(samples):
+        hw = tuple(s.shape)
+        t0 = time.perf_counter()
+        if ti == 0:
+            _, _, acc = proc.step(frames[ti], m0, labels,
+                                  end=(ti == len(samples) - 1),
+                                  pack_hw=hw, acc=acc)
+        else:
+            _, _, acc = proc.step(frames[ti], end=(ti == len(samples) - 1),
+                                  pack_hw=hw, acc=acc)
+        int(acc)  # drain: per-frame latency, not pipelined throughput
+        times.append(time.perf_counter() - t0)
+    return times[10:]
+
+
 def run_long_video_device(net, cfg, samples, msk0, labels, n_frames=300):
     """expand_long_vid-style stress: the chair frames ping-ponged to n_frames
     with the default memory config, so working memory saturates and
@@ -246,6 +283,21 @@ def main():
         dt = time.perf_counter() - t0
         e2e_fps = max(e2e_fps, len(samples) / dt)
 
+    # multi-object (2 caps, 87 frames): distinct group structure — the
+    # reference headline is multi-object interactive segmentation
+    mcfg, mnet, msamples, mmsk0, mlabels = build(video=CAPS)
+    run_video_device(mnet, mcfg, msamples, mmsk0, mlabels)  # warm (compiles)
+    run_video_device(mnet, mcfg, msamples, mmsk0, mlabels)
+    multi_fps = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_video_device(mnet, mcfg, msamples, mmsk0, mlabels)
+        dt = time.perf_counter() - t0
+        multi_fps = max(multi_fps, len(msamples) / dt)
+
+    lat = run_video_device_latency(net, cfg, samples, msk0, labels)
+    p50_ms = float(np.median(lat) * 1e3)
+
     n_long = 300
     run_long_video_device(net, cfg, samples, msk0, labels, n_long)  # warm
     long_fps, long_lt = 0.0, 0
@@ -277,6 +329,21 @@ def main():
             'vs_baseline': round(e2e_fps / BASELINE_FPS, 3),
             'note': 'd2h-bound on the ~5MB/s dev tunnel; converges to '
                     'device_fps on host-attached TPUs',
+        }, {
+            'metric': 'caps_2obj_480p_device_fps',
+            'value': round(multi_fps, 2),
+            'unit': 'frames/sec',
+            'vs_baseline': round(multi_fps / BASELINE_FPS, 3),
+            'note': '2-object caps video (87 frames) — multi-object group '
+                    'matching and decoding',
+        }, {
+            'metric': 'chair_480p_p50_frame_latency_ms',
+            'value': round(p50_ms, 2),
+            'unit': 'ms',
+            'vs_baseline': round((1000.0 / BASELINE_FPS) / p50_ms, 3),
+            'note': 'depth-1 pipeline (fetch every frame); dominated by the '
+                    'dev tunnel round-trip here, converges to per-frame '
+                    'device time on host-attached TPUs',
         }, {
             'metric': 'longvideo_480p_device_fps',
             'value': round(long_fps, 2),
