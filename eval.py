@@ -150,7 +150,6 @@ def main():
         mapper = MaskMapper()
         processor = InferenceCore(network, config=config)
         first_mask_loaded = False
-        last_chunked_ti = -1
 
         def save_frame(sample, out_mask):
             if args.save_all or sample.save:
@@ -164,11 +163,21 @@ def main():
                 out_img.save(
                     path.join(this_out_path, sample.frame[:-4] + '.png'))
 
-        ti = -1
-        for sample in vid_reader:
-            ti += 1
-            if ti <= last_chunked_ti:
-                continue  # consumed by a chunk below
+        # peekable buffer over the reader's background-prefetched iterator:
+        # the chunked path looks ahead without double-decoding frames and
+        # without forfeiting the prefetch thread's decode/compute overlap
+        from collections import deque
+        sample_iter = iter(vid_reader)
+        lookahead = deque()
+
+        def peek(j):
+            while len(lookahead) <= j:
+                lookahead.append(next(sample_iter))
+            return lookahead[j]
+
+        ti = 0
+        while ti < vid_length:
+            sample = peek(0)
             frame = sample.frame
             shape = sample.shape
             need_resize = sample.need_resize
@@ -180,7 +189,10 @@ def main():
                 if msk is not None:
                     first_mask_loaded = True
                 else:
-                    continue  # no point segmenting before the first mask
+                    # no point segmenting before the first mask
+                    lookahead.popleft()
+                    ti += 1
+                    continue
 
             # chunked fast path: a run of mask-less steady frames in one
             # dispatch (plain_run_length grows only after memory engages)
@@ -188,7 +200,7 @@ def main():
                 k = min(processor.plain_run_length(), vid_length - 1 - ti)
                 chunk = [sample]
                 for j in range(1, k):
-                    s = vid_reader[ti + j]
+                    s = peek(j)
                     if s.mask is not None:
                         break
                     chunk.append(s)
@@ -202,7 +214,8 @@ def main():
                     total_frames += len(chunk)
                     for j, s in enumerate(chunk):
                         save_frame(s, unpack_mask(packs[j], out_hw[1]))
-                    last_chunked_ti = ti + len(chunk) - 1
+                        lookahead.popleft()
+                    ti += len(chunk)
                     continue
 
             if msk is not None:
@@ -245,6 +258,8 @@ def main():
                     prob=(prob_np * 255).astype(np.uint8))
 
             save_frame(sample, out_mask)
+            lookahead.popleft()
+            ti += 1
 
     profile_ctx.__exit__(None, None, None)
     print(f'Total processing time: {total_process_time}')

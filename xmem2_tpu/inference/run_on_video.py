@@ -177,10 +177,22 @@ def _inference_on_video(frames_with_masks, imgs_in_path, masks_in_path,
                     im_saver.save_overlay(orig_img=sample.raw_image_pil,
                                           mask=out_img, frame_name=sample.frame)
 
+        # peekable buffer over the reader's background-prefetched iterator:
+        # chunk lookahead must not forfeit the decode/compute overlap of
+        # __iter__, and must not double-load frames via __getitem__
+        from collections import deque
+        sample_iter = iter(vid_reader)
+        lookahead = deque()
+
+        def peek(j):
+            while len(lookahead) <= j:
+                lookahead.append(next(sample_iter))
+            return lookahead[j]
+
         progress = tqdm(total=vid_length, disable=not print_progress)
         ti = 0
         while ti < vid_length:
-            sample = vid_reader[ti]
+            sample = peek(0)
             out_hw = tuple(int(x) for x in sample.shape)
 
             # how many upcoming frames can go through one chunk dispatch
@@ -190,7 +202,9 @@ def _inference_on_video(frames_with_masks, imgs_in_path, masks_in_path,
                 while any((ti + j) in frames_with_masks for j in range(k)):
                     k -= 1
             if k > 1:
-                chunk = [sample] + [vid_reader[ti + j] for j in range(1, k)]
+                chunk = [peek(j) for j in range(k)]
+                for _ in range(k):
+                    lookahead.popleft()
                 a = perf_counter()
                 stack = jnp.asarray(np.stack([s.rgb for s in chunk]))
                 packs, _ = processor.step_chunk(stack, pack_hw=out_hw)
@@ -233,6 +247,7 @@ def _inference_on_video(frames_with_masks, imgs_in_path, masks_in_path,
             out_mask = unpack_mask(packed, out_hw[1])
             finish_frame(ti, sample, out_mask, msk is not None,
                          perf_counter() - a)
+            lookahead.popleft()
             progress.update(1)
             ti += 1
         progress.close()

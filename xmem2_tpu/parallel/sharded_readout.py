@@ -87,7 +87,12 @@ def sharded_topk_readout(
     Returns (readout [O, P, Cv] replicated, usage [N] sharded) — numerically
     the single-chip result (ops/similarity path) up to psum addition order.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8 (check_rep renamed check_vma)
+        check_kw = {'check_vma': False}
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+        check_kw = {'check_rep': False}
 
     spec_n = P(axis)
     fn = shard_map(
@@ -98,7 +103,7 @@ def sharded_topk_readout(
                   P(), P() if qe is not None else None,
                   P(None, axis, None), P(None, axis)),
         out_specs=(P(), spec_n),
-        check_rep=False,
+        **check_kw,
     )
     return fn(mk, ms, qk, qe, values, valid)
 
