@@ -58,6 +58,10 @@ def main():
     parser.add_argument('--profile_dir', default=None,
                         help='write a jax.profiler device trace here '
                              '(view with tensorboard --logdir)')
+    parser.add_argument('--spill_long_term', action='store_true',
+                        help='archive evicted long-term memory rows in host '
+                             'DRAM instead of discarding them; they revive '
+                             'when max_long_term_elements is raised live')
     args = parser.parse_args()
 
     import jax
@@ -81,6 +85,7 @@ def main():
         'max_long_term_elements': args.max_long_term_elements,
         'num_prototypes': args.num_prototypes,
         'compute_dtype': args.compute_dtype,
+        'spill_long_term': args.spill_long_term,
     })
 
     if args.output is None:
@@ -183,7 +188,6 @@ def main():
             need_resize = sample.need_resize
 
             a = time.perf_counter()
-            rgb = jnp.asarray(sample.rgb)
             msk = sample.mask
             if not first_mask_loaded:
                 if msk is not None:
@@ -218,6 +222,9 @@ def main():
                     ti += len(chunk)
                     continue
 
+            # upload only on the per-frame path — a chunked run re-stages the
+            # frame inside np.stack, so an eager upload would be wasted h2d
+            rgb = jnp.asarray(sample.rgb)
             if msk is not None:
                 msk, labels = mapper.convert_mask(msk,
                                                   exhaustive=not is_youtube)

@@ -122,3 +122,64 @@ def test_long_term_host_spill_and_revive():
     # the revived rows are live: a match over them stays finite
     prob = proc.step(jnp.asarray(frames[1]))
     assert np.isfinite(np.asarray(prob)).all()
+
+
+@pytest.mark.slow
+def test_spill_revive_through_production_update_config():
+    """The PRODUCTION revive path: a run with spill_long_term on archives
+    evicted rows; raising max_long_term_elements live (the GUI "max
+    long-term" slider / InferenceCore.update_config, reference
+    gui.py:1120-1128 analog) grows the store and pulls archived rows back —
+    no test-only internals involved."""
+    from xmem2_tpu.models.init import init_params
+    from xmem2_tpu.inference.net import XMemNet
+    from xmem2_tpu.inference.core import InferenceCore
+
+    cfg = {
+        'hidden_dim': 64, 'top_k': 10, 'mem_every': 2, 'deep_update_every': -1,
+        'enable_long_term': True, 'enable_long_term_count_usage': True,
+        'max_mid_term_frames': 4, 'min_mid_term_frames': 2,
+        'num_prototypes': 8, 'max_long_term_elements': 64, 'size': -1,
+        'spill_long_term': True,
+    }
+    params = init_params(seed=0)
+    params.tree['key_proj']['key_proj']['weight'] = \
+        params.tree['key_proj']['key_proj']['weight'] * 0.01
+    params.tree['key_proj']['d_proj']['weight'] = \
+        params.tree['key_proj']['d_proj']['weight'] * 0.01
+    net = XMemNet(params)
+    proc = InferenceCore(net, config=dict(cfg))
+    proc.set_all_labels([1])
+
+    rng = np.random.default_rng(2)
+    h, w = 64, 96
+    frames = [rng.standard_normal((h, w, 3)).astype(np.float32) * 0.5
+              for _ in range(6)]
+    mask0 = np.zeros((1, h, w), np.float32)
+    mask0[0, 20:40, 30:60] = 1
+
+    order = list(range(6)) + list(range(4, -1, -1))
+    for ti in range(80):
+        f = jnp.asarray(frames[order[ti % len(order)]])
+        if ti == 0:
+            proc.step(f, jnp.asarray(mask0), [1])
+        else:
+            proc.step(f)
+
+    mm = proc.memory
+    assert mm.archive is not None and len(mm.archive) > 0
+    archived_before = len(mm.archive)
+    long_before = mm.long_size
+
+    new_cfg = dict(cfg)
+    new_cfg['max_long_term_elements'] = 256
+    proc.update_config(new_cfg)
+
+    revived = archived_before - len(mm.archive)
+    assert revived > 0, 'update_config did not revive archived rows'
+    assert mm.long_size == long_before + revived
+    assert mm.long.capacity >= 256 + cfg['num_prototypes']
+
+    # the run continues with the revived rows matched
+    prob = proc.step(jnp.asarray(frames[2]))
+    assert np.isfinite(np.asarray(prob)).all()

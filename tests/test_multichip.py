@@ -15,14 +15,18 @@ from xmem2_tpu.parallel.mesh import (
     data_sharding, make_mesh, replicated, shard_batch)
 from xmem2_tpu.train.trainer import XMemTrainer
 
+# t=2 exercises the identical per-step path as t=8 (the ti-loop body is the
+# same); small shapes keep single-core compile+exec of the 8-partition SPMD
+# programs tractable. Shapes match the driver dryrun so compile-cache entries
+# are shared.
 CONFIG = {
-    'num_frames': 3, 'num_ref_frames': 2, 'deep_update_prob': 0.2,
+    'num_frames': 2, 'num_ref_frames': 1, 'deep_update_prob': 0.2,
     'hidden_dim': 64, 'start_warm': 2000, 'end_warm': 7000,
     'lr': 1e-5, 'weight_decay': 0.05, 'steps': [10], 'gamma': 0.1,
 }
 
 
-def synth_batch(b, t=3, h=64, w=96, n_obj=2, seed=0):
+def synth_batch(b, t=2, h=48, w=64, n_obj=2, seed=0):
     rng = np.random.default_rng(seed)
     ffg = np.zeros((b, 1, n_obj, h, w), np.float32)
     ffg[:, 0, 0, 8:24, 8:24] = 1
@@ -108,12 +112,111 @@ class TestDataParallelTrainer:
             float(aux_mesh['total_loss']), float(aux_single['total_loss']),
             rtol=2e-4)
 
+    def test_two_phase_matches_single_device(self, mesh8):
+        """two_phase=True (collective-free grads program + tiny reduce
+        program, the dryrun's mode) computes the same loss as the unsharded
+        step, and params stay replicated."""
+        batch = synth_batch(b=8, seed=3)
+        rng = jax.random.PRNGKey(7)
+
+        t_single = XMemTrainer(CONFIG, init_params(seed=0))
+        aux_single = t_single.do_pass(batch, it=0, rng=rng)
+
+        t2 = XMemTrainer(CONFIG, init_params(seed=0), mesh=mesh8,
+                         two_phase=True)
+        aux2 = t2.do_pass(batch, it=0, rng=rng)
+
+        np.testing.assert_allclose(
+            float(aux2['total_loss']), float(aux_single['total_loss']),
+            rtol=2e-4)
+        leaf = jax.tree.leaves(t2.state.params.tree)[0]
+        assert leaf.sharding.is_fully_replicated
+        assert len(leaf.sharding.device_set) == 8
+
     def test_do_pass_host_numpy_batch(self, mesh8):
         """do_pass shards a plain host numpy batch itself (the
         DistributedSampler + .cuda() path of the reference)."""
         trainer = XMemTrainer(CONFIG, init_params(seed=0), mesh=mesh8)
         aux = trainer.do_pass(synth_batch(b=8, seed=1), it=0)
         assert np.isfinite(float(aux['total_loss']))
+
+
+class TestDriverContract:
+    """Run the driver's own artifact path: __graft_entry__.dryrun_multichip(8)
+    in a fresh subprocess, exactly as the driver invokes it. Besides proving
+    the contract, this WARMS the persistent compile cache (.jax_cache) with
+    the canonical flag set, so the driver's later invocation loads the
+    compiled SPMD step in seconds instead of cold-compiling for minutes on
+    one CPU core."""
+
+    @pytest.mark.slow
+    def test_dryrun_multichip_8(self):
+        import subprocess
+        import sys
+        proc = subprocess.run(
+            [sys.executable, '-u', '-c',
+             'import __graft_entry__ as g; g.dryrun_multichip(8)'],
+            cwd='/root/repo', capture_output=True, text=True, timeout=840)
+        assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+        assert 'dryrun_multichip(8) OK' in proc.stdout, proc.stdout[-2000:]
+
+
+class TestMultiHostBootstrap:
+    """Exercise train.py's maybe_init_distributed (the torchrun/NCCL
+    init_process_group analog, reference train.py:25) with a real
+    single-process coordinator: jax.distributed.initialize must come up,
+    report process_count()==1, and a training step must run under it."""
+
+    SCRIPT = r'''
+import os, socket
+sock = socket.socket()
+sock.bind(("localhost", 0))
+port = sock.getsockname()[1]
+sock.close()
+os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+os.environ["JAX_NUM_PROCESSES"] = "1"
+os.environ["JAX_PROCESS_ID"] = "0"
+os.environ["JAX_PLATFORMS"] = "cpu"
+from train import maybe_init_distributed
+assert maybe_init_distributed() is True
+import jax
+assert jax.process_count() == 1, jax.process_count()
+assert jax.process_index() == 0
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+import numpy as np
+from xmem2_tpu.models.init import init_params
+from xmem2_tpu.train.trainer import XMemTrainer
+from tests.test_multichip import synth_batch
+cfg = {"num_frames": 2, "num_ref_frames": 1, "deep_update_prob": 0.2,
+       "hidden_dim": 64, "start_warm": 2000, "end_warm": 7000,
+       "lr": 1e-5, "weight_decay": 0.05, "steps": [10], "gamma": 0.1}
+trainer = XMemTrainer(cfg, init_params(seed=0))
+aux = trainer.do_pass(synth_batch(b=1, t=2, h=48, w=64), it=0)
+assert np.isfinite(float(aux["total_loss"]))
+print("BOOTSTRAP_OK", float(aux["total_loss"]))
+'''
+
+    def test_single_process_coordinator(self):
+        import os
+        import subprocess
+        import sys
+        env = dict(os.environ)
+        env.pop('XLA_FLAGS', None)   # single device is enough here
+        proc = subprocess.run(
+            [sys.executable, '-u', '-c', self.SCRIPT], cwd='/root/repo',
+            env=env, capture_output=True, text=True, timeout=540)
+        assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+        assert 'BOOTSTRAP_OK' in proc.stdout
+        assert 'jax.distributed initialized: process 0 of 1' in proc.stdout
+
+    def test_not_triggered_without_env(self):
+        import os
+        for var in ('XMEM2_DIST', 'JAX_COORDINATOR_ADDRESS'):
+            assert var not in os.environ
+        import train
+        assert train.maybe_init_distributed() is False
 
 
 class TestShardedMemoryReadout:

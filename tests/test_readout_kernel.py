@@ -90,6 +90,87 @@ def test_multi_segment_matches_concat(seg_ns, o, g, gids):
                                rtol=1e-5, atol=1e-6)
 
 
+class TestBoundaryTies:
+    """The expand_long_vid regime: ping-pong duplication puts bit-identical
+    entries in memory, so fp ties at the k-th similarity are guaranteed. The
+    kernel deterministically includes the whole tied set with exact
+    normalization; the reference keeps an arbitrary k-subset. Pin both the
+    normalization (weights sum to exactly 1 -> usage total == P for a
+    single-group bank) and the readout delta vs the jnp path."""
+
+    def _dup_case(self, seed=3, n=600, p=90, o=1, cv=32):
+        rng = np.random.default_rng(seed)
+        base = rng.standard_normal((n // 2, 16)).astype(np.float32)
+        mk = np.concatenate([base, base])                  # every key twice
+        ms = np.concatenate([x := (rng.standard_normal((n // 2,)).astype(
+            np.float32) ** 2 + 1), x])
+        qk = rng.standard_normal((p, 16)).astype(np.float32)
+        qe = (1 / (1 + np.exp(-rng.standard_normal((p, 16))))).astype(
+            np.float32)
+        vbase = rng.standard_normal((o, n // 2, cv)).astype(np.float32)
+        values = np.concatenate([vbase, vbase], axis=1)    # values match keys
+        valid = np.ones((1, n), bool)
+        return tuple(map(jnp.asarray, (mk, ms, qk, qe, values, valid)))
+
+    def test_weights_sum_to_one_under_ties(self):
+        mk, ms, qk, qe, values, valid = self._dup_case()
+        got_read, got_usage = fused_topk_readout(mk, ms, qk, qe, values, valid,
+                                                 (0,), 30, interpret=True)
+        # every query row's affinity sums to 1 => total usage == P exactly
+        total = float(jnp.sum(got_usage))
+        assert abs(total - qk.shape[0]) < 1e-3, total
+
+    def test_readout_matches_jnp_under_ties(self):
+        """With duplicated (key, value) pairs the whole-tie-set readout and
+        the arbitrary-subset readout select value rows with identical
+        content, so the readout must agree to fp tolerance even though the
+        per-slot affinity pattern differs."""
+        mk, ms, qk, qe, values, valid = self._dup_case()
+        ref_read, _ = jnp_reference(mk, ms, qk, qe, values, valid, (0,), 30)
+        got_read, _ = fused_topk_readout(mk, ms, qk, qe, values, valid,
+                                         (0,), 30, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_read), np.asarray(ref_read),
+                                   rtol=5e-3, atol=5e-3)
+
+    def test_straddling_tie_readout_delta_bounded(self):
+        """Odd top_k over fully-duplicated entries forces the k-th tie pair
+        to straddle the boundary: the reference keeps one arbitrary copy, the
+        kernel keeps both (renormalized). The readout delta is then bounded
+        by the k-th softmax weight times the value magnitude — assert that
+        stated bound, and that normalization stays exact."""
+        mk, ms, qk, qe, values, valid = self._dup_case()
+        top_k = 31
+        sim = S.get_similarity(mk, ms, qk, qe)
+        aff = S.softmax_w_top(sim, top_k, valid=valid[0])
+        ref_read = S.readout(aff, values[0])
+        got_read, got_usage = fused_topk_readout(mk, ms, qk, qe, values, valid,
+                                                 (0,), top_k, interpret=True)
+        # per-row smallest kept weight (the k-th weight) bounds the deviation
+        w_k = np.asarray(jnp.min(jnp.where(aff > 0, aff, jnp.inf), axis=-1))
+        vmax = float(jnp.max(jnp.abs(values)))
+        bound = 2.0 * w_k[:, None] * vmax + 5e-3
+        delta = np.abs(np.asarray(got_read[0]) - np.asarray(ref_read))
+        assert (delta <= bound).all(), \
+            f'max delta {delta.max()} vs bound {bound.max()}'
+        total = float(jnp.sum(got_usage))
+        assert abs(total - qk.shape[0]) < 1e-3, total
+
+    def test_large_k_falls_back_and_terminates(self):
+        """top_k > BN//2 used to hang the merge-round trace loop (the width
+        stopped shrinking); it must now fall back to the XLA stats path and
+        still match the jnp reference."""
+        mk, ms, qk, qe, values, valid = make_case(11, 900, 70, 1, 1)
+        top_k = 300   # > BN//2 == 256
+        ref_read, ref_usage = jnp_reference(mk, ms, qk, qe, values, valid,
+                                            (0,), top_k)
+        got_read, got_usage = fused_topk_readout(mk, ms, qk, qe, values, valid,
+                                                 (0,), top_k, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_read),
+                                   np.asarray(ref_read), rtol=5e-3, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(got_usage),
+                                   np.asarray(ref_usage), rtol=1e-5, atol=1e-5)
+
+
 def test_tiny_memory_degenerates_to_full_softmax():
     mk, ms, qk, qe, values, valid = make_case(1, 20, 40, 1, 1)
     ref_read, ref_usage = jnp_reference(mk, ms, qk, qe, values, valid, (0,), 30)

@@ -41,4 +41,8 @@ VIDEO_INFERENCE_CONFIG = {
     # Maximum number of object groups compiled for (objects entering the video
     # together share one group; DAVIS/interactive use 1).
     'max_object_groups': 4,
+    # Archive evicted long-term rows in host DRAM (memory/spill.py) instead of
+    # discarding them; archived rows revive when max_long_term_elements is
+    # raised live (MemoryManager.update_config / the GUI slider).
+    'spill_long_term': False,
 }

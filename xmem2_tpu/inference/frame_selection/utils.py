@@ -3,16 +3,21 @@ augmentation catalog for permanent-memory augmentation.
 
 Behavioral parity target: reference inference/frame_selection/
 frame_selection_utils.py (extract_keys :11, get_determenistic_augmentations
-:50). Augmentations are reimplemented with PIL (torchvision is not a
-dependency); geometric parameters match the reference's catalog (rotate ±30°,
-shear ±20°, zoom 0.5x/1.5x, brightness 1.5x/0.5x, posterize 3 bits,
-sharpness 16x, gaussian blur k=7).
+:50). Augmentations reproduce torchvision SEMANTICS without the dependency
+(pixel parity pinned by tests/test_aug_parity.py against a transcribed
+oracle): image affines use the PIL path with torchvision's inverse matrix
+and NEAREST default; mask affines replicate the TENSOR path exactly
+(half-pixel grid + nearest round — the reference feeds torch tensors);
+gaussian blur is torchvision's truncated FIR kernel (sigma 1.4, reflect
+pad), not PIL's IIR approximation. Parameters: rotate ±30°, shear ±20°,
+zoom 0.5x/1.5x, brightness 1.5x/0.5x, posterize 3 bits, sharpness 16x,
+blur k=7.
 """
 
 from typing import Callable, List, Tuple
 
 import numpy as np
-from PIL import Image, ImageEnhance, ImageFilter, ImageOps
+from PIL import Image, ImageEnhance, ImageOps
 
 
 def extract_keys(vid_reader, processor, print_progress=False):
@@ -37,38 +42,80 @@ def extract_keys(vid_reader, processor, print_progress=False):
 # deterministic augmentations
 # ---------------------------------------------------------------------------
 
-def _affine_pil(img: Image.Image, angle=0.0, translate=(0, 0), scale=1.0,
-                shear=0.0, resample=Image.BILINEAR) -> Image.Image:
-    """Center-based affine matching torchvision FT.affine conventions."""
-    w, h = img.size
-    cx, cy = w * 0.5, h * 0.5
-    a = np.deg2rad(angle)
-    s = np.deg2rad(shear)
-    # torchvision: M = T(center) R(angle) Shear(s) Scale * T(-center) T(translate)
-    cos_a, sin_a = np.cos(a), np.sin(a)
-    # rotation+shear+scale matrix (inverse mapping for PIL)
-    m00 = scale * cos_a
-    m01 = -scale * np.sin(a + s) / max(np.cos(s), 1e-8)
-    m10 = scale * sin_a
-    m11 = scale * np.cos(a + s) / max(np.cos(s), 1e-8)
-    mat = np.array([[m00, m01], [m10, m11]])
-    inv = np.linalg.inv(mat)
+def _tv_inverse_matrix(center, angle, translate, scale, shear):
+    """torchvision _get_inverse_affine_matrix (shear_y fixed at 0, as in the
+    reference catalog): returns the 6 inverse-map coefficients."""
+    rot = np.deg2rad(angle)
+    sx = np.deg2rad(shear)
+    cx, cy = center
     tx, ty = translate
-    # PIL transform uses the inverse map: out(x, y) = in(a x + b y + c, ...)
-    c0 = cx - inv[0, 0] * (cx + tx) - inv[0, 1] * (cy + ty)
-    c1 = cy - inv[1, 0] * (cx + tx) - inv[1, 1] * (cy + ty)
-    return img.transform((w, h), Image.AFFINE,
-                         (inv[0, 0], inv[0, 1], c0, inv[1, 0], inv[1, 1], c1),
-                         resample=resample)
+    a = np.cos(rot)
+    b = -np.cos(rot) * np.tan(sx) - np.sin(rot)
+    c = np.sin(rot)
+    d = -np.sin(rot) * np.tan(sx) + np.cos(rot)
+    m = [d / scale, -b / scale, 0.0, -c / scale, a / scale, 0.0]
+    m[2] += m[0] * (-cx - tx) + m[1] * (-cy - ty)
+    m[5] += m[3] * (-cx - tx) + m[4] * (-cy - ty)
+    m[2] += cx
+    m[5] += cy
+    return m
 
 
-def _mask_affine(mask: np.ndarray, **kw) -> np.ndarray:
-    """Apply a geometric transform to an [O, H, W] float mask (nearest)."""
-    out = np.empty_like(mask)
-    for i, ch in enumerate(mask):
-        im = Image.fromarray((ch * 255).astype(np.uint8))
-        out[i] = np.asarray(_affine_pil(im, resample=Image.NEAREST, **kw),
-                            np.float32) / 255.0
+def _affine_pil(img: Image.Image, angle=0.0, translate=(0, 0), scale=1.0,
+                shear=0.0, resample=Image.NEAREST) -> Image.Image:
+    """torchvision F.affine PIL path: center-based inverse-map affine —
+    including the NEAREST default interpolation (torchvision
+    InterpolationMode.NEAREST is the default for F.affine/RandomAffine, which
+    the reference catalog never overrides, frame_selection_utils.py:66-107)."""
+    w, h = img.size
+    m = _tv_inverse_matrix((w * 0.5, h * 0.5), angle, translate, scale, shear)
+    return img.transform((w, h), Image.AFFINE, tuple(m), resample=resample)
+
+
+def _gaussian_blur_tv(img: Image.Image, ksize: int = 7) -> Image.Image:
+    """torchvision F.gaussian_blur semantics: truncated FIR kernel sampled at
+    integer offsets with sigma = 0.3*((ksize-1)*0.5 - 1) + 0.8, separable
+    convolution with REFLECT padding, rounded back to uint8. (PIL's own
+    GaussianBlur is an IIR approximation with different pixels — the
+    reference uses the torchvision kernel, frame_selection_utils.py:58.)"""
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize, dtype=np.float32) - (ksize - 1) * 0.5
+    k1 = np.exp(-0.5 * (x / sigma) ** 2)
+    k1 /= k1.sum()
+    arr = np.asarray(img, np.float32)                       # [H, W, C]
+    pad = ksize // 2
+    arr = np.pad(arr, ((pad, pad), (pad, pad), (0, 0)), mode='reflect')
+    # separable conv: rows then columns
+    arr = np.apply_along_axis(
+        lambda r: np.convolve(r, k1, mode='valid'), 1, arr)
+    arr = np.apply_along_axis(
+        lambda c: np.convolve(c, k1, mode='valid'), 0, arr)
+    out = np.clip(np.round(arr), 0, 255).astype(np.uint8)
+    return Image.fromarray(out)
+
+
+def _mask_affine(mask: np.ndarray, angle=0.0, translate=(0, 0), scale=1.0,
+                 shear=0.0) -> np.ndarray:
+    """Geometric transform of an [O, H, W] float mask, replicating the
+    torchvision TENSOR affine exactly (half-pixel-center grid + nearest
+    round, grid_sample padding zeros): the reference applies its mask_aug to
+    a torch tensor (run_on_video.py:239), which takes torchvision's tensor
+    path — a half-pixel off from the PIL path, which visibly shifts
+    shrunken masks (e.g. zoom_out)."""
+    o, h, w = mask.shape
+    m = _tv_inverse_matrix((0.0, 0.0), angle,
+                           [float(t) for t in translate], scale, shear)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    bx = xs - (w - 1) * 0.5
+    by = ys - (h - 1) * 0.5
+    in_x = m[0] * bx + m[1] * by + m[2] + (w - 1) * 0.5
+    in_y = m[3] * bx + m[4] * by + m[5] + (h - 1) * 0.5
+    ix = np.round(in_x).astype(np.int64)
+    iy = np.round(in_y).astype(np.int64)
+    valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    out = np.zeros_like(mask)
+    vy, vx = np.nonzero(valid)
+    out[:, vy, vx] = mask[:, iy[vy, vx], ix[vy, vx]]
     return out
 
 
@@ -94,8 +141,7 @@ def get_determenistic_augmentations(img_size=None, mask=None,
     gray = _named(lambda im: im.convert('L').convert('RGB'), 'gray')
     reduce_bits = _named(lambda im: ImageOps.posterize(im, 3), 'reduce_bits')
     sharp = _named(lambda im: ImageEnhance.Sharpness(im).enhance(16.0), 'sharp')
-    # torchvision gaussian_blur(kernel_size=7) default sigma = 0.3*((7-1)*0.5-1)+0.8
-    blur = _named(lambda im: im.filter(ImageFilter.GaussianBlur(radius=1.4)), 'blur')
+    blur = _named(lambda im: _gaussian_blur_tv(im, ksize=7), 'blur')
 
     def geo(name, **kw):
         return (_named(lambda im: _affine_pil(im, **kw), name),

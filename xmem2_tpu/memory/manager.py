@@ -294,10 +294,22 @@ class MemoryManager:
         assert self.enable_long_term == config['enable_long_term'], 'cannot update this'
         self.enable_long_term_usage = config['enable_long_term_count_usage']
         if self.enable_long_term:
+            old_max_long = self.max_long_elements
             self.max_mt_frames = config['max_mid_term_frames']
             self.min_mt_frames = config['min_mid_term_frames']
             self.num_prototypes = config['num_prototypes']
             self.max_long_elements = config['max_long_term_elements']
+            # Raising the long-term cap frees capacity — the production
+            # moment to pull spilled rows back from host DRAM (e.g. the GUI
+            # "max long-term" slider, reference gui.py:1120-1128 analog).
+            if (self.spill_long_term and self.long is not None
+                    and self.max_long_elements > old_max_long):
+                need = self.max_long_elements + self.num_prototypes
+                if self.long.capacity < need:
+                    self.long = ST.grow(self.long, need,
+                                        self.long.num_objects,
+                                        self.long.num_groups)
+                self.revive_from_archive()
 
     # -- helpers -----------------------------------------------------------
     @property

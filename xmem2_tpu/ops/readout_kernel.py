@@ -24,10 +24,13 @@ per-segment top-k candidates, and the Pallas pass runs per segment with the
 shared softmax stats, so the big value buffers are never concatenated in HBM.
 
 Numerics: identical to the jnp reference path (ops/similarity.py) except on
-exact fp ties at the k-th similarity value — the kernel includes the whole
-tied set (weights then sum slightly above 1) while torch.topk picks an
-arbitrary k-subset. Ties require bit-identical memory entries (e.g. ping-pong
-duplicated long videos) and perturb weights by O(1/k).
+exact fp ties at the k-th similarity value: the kernel deterministically
+includes the WHOLE tied set with exact normalization (the tie count at the
+threshold is folded into Z, so weights sum to exactly 1), whereas torch.topk
+(reference memory_util.py:45) keeps an arbitrary k-subset of the tie. Ties
+require bit-identical memory entries (e.g. ping-pong duplicated long videos);
+tests/test_readout_kernel.py pins the readout delta and the end-metric in
+that regime.
 """
 
 import functools
@@ -208,6 +211,30 @@ def block_topk_candidates(sim: jnp.ndarray, valid: jnp.ndarray, k: int,
     return cand.transpose(0, 2, 1, 3).reshape(g, p, nb * k)
 
 
+def _tie_corrected_z(z, vals, tau, rmax, sims, valids):
+    """Fold boundary ties into the softmax normalizer.
+
+    The streaming pass includes EVERY entry with sim >= tau, so when ties at
+    the k-th value extend past the k candidate slots, Z computed from the k
+    candidates alone under-counts and the weights would sum above 1. Count
+    the tied entries across all segments, subtract the ones already inside
+    the candidate list, and add the difference's mass to Z. Exact: without
+    boundary ties the correction is identically zero.
+
+    z/tau/rmax [G, P]; vals [G, P, k]; sims list of [P, N]; valids [G, N].
+    """
+    cnt_in_k = jnp.sum(vals == tau[..., None], axis=-1)       # [G, P] int
+    cnt_total = jnp.zeros_like(cnt_in_k)
+    for sim, valid in zip(sims, valids):
+        eq = (sim[None, :, :] == tau[:, :, None]) & valid[:, None, :]
+        cnt_total = cnt_total + jnp.sum(eq, axis=-1)
+    # -inf tau/rmax only occur for padded or under-full groups, where the
+    # correction must vanish (and exp(-inf - -inf) would be nan).
+    tie_w = jnp.where(jnp.isfinite(tau) & jnp.isfinite(rmax),
+                      jnp.exp(tau - rmax), 0.0)
+    return z + (cnt_total - cnt_in_k).astype(z.dtype) * tie_w
+
+
 def _topk_stats_fused(sims, valids, top_k: int, interpret: bool):
     """tau/rmax/invz via the Pallas candidate kernel, merge included.
 
@@ -223,6 +250,12 @@ def _topk_stats_fused(sims, valids, top_k: int, interpret: bool):
     g = valids[0].shape[0]
     total_n = sum(s.shape[-1] for s in sims)
     k = min(top_k, total_n)
+    if k > BN // 2:
+        # each merge round maps width M -> ceil(M/BN)*k, which stops
+        # shrinking once k > BN/2 (and the candidate kernel unrolls k
+        # max-steps, hostile to compile time at that size anyway): use the
+        # XLA top-k stats path for large-k configs.
+        return _topk_stats(sims, valids, top_k)
 
     cands = []
     for sim, valid in zip(sims, valids):
@@ -245,6 +278,7 @@ def _topk_stats_fused(sims, valids, top_k: int, interpret: bool):
     rmax = vals[..., 0]
     z = jnp.sum(jnp.exp(vals - rmax[..., None]), axis=-1)
     tau = vals[..., -1]
+    z = _tie_corrected_z(z, vals, tau, rmax, sims, valids)
     return (tau.transpose(1, 0), rmax.transpose(1, 0),
             (1.0 / z).transpose(1, 0))
 
@@ -262,21 +296,21 @@ def _topk_stats(sims: Sequence[jnp.ndarray], valids: Sequence[jnp.ndarray],
     total_n = sum(s.shape[-1] for s in sims)
     k = min(top_k, total_n)
 
-    taus, rmaxs, invzs = [], [], []
+    vals_g = []
     for gi in range(g):
         cands = []
         for sim, valid in zip(sims, valids):
             simg = jnp.where(valid[gi][None, :], sim, NEG_INF)
             cands.append(top_k_values(simg, min(k, simg.shape[-1])))
         merged = cands[0] if len(cands) == 1 else jnp.concatenate(cands, -1)
-        vals = jax.lax.top_k(merged, k)[0]                # [P, k] desc
-        rmax = vals[:, 0]
-        z = jnp.sum(jnp.exp(vals - rmax[:, None]), axis=-1)
-        taus.append(vals[:, -1])
-        rmaxs.append(rmax)
-        invzs.append(1.0 / z)
-    return (jnp.stack(taus, axis=1), jnp.stack(rmaxs, axis=1),
-            jnp.stack(invzs, axis=1))
+        vals_g.append(jax.lax.top_k(merged, k)[0])        # [P, k] desc
+    vals = jnp.stack(vals_g)                              # [G, P, k]
+    rmax = vals[..., 0]
+    z = jnp.sum(jnp.exp(vals - rmax[..., None]), axis=-1)
+    tau = vals[..., -1]
+    z = _tie_corrected_z(z, vals, tau, rmax, sims, valids)
+    return (tau.transpose(1, 0), rmax.transpose(1, 0),
+            (1.0 / z).transpose(1, 0))
 
 
 def fused_topk_readout_multi(

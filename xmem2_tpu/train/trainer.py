@@ -125,10 +125,29 @@ def train_forward(params: XMemParams, frames, first_frame_gt, selector,
 
 
 def make_train_step(config: dict, optimizer, mesh: Optional[jax.sharding.Mesh] = None,
-                    dtype=None):
+                    dtype=None, two_phase: bool = False):
     """Build the jitted train step. With a mesh, batch/cls inputs are sharded
-    over the 'data' axis and parameters are replicated; XLA inserts the
-    gradient all-reduce."""
+    over the 'data' axis and parameters are replicated.
+
+    Default mesh path: ONE jitted program; XLA inserts the gradient
+    all-reduces per parameter leaf and, on TPU, its all-reduce combiner pass
+    buckets them into large ICI messages (the DDP-bucketing analog,
+    reference trainer.py:28-30). The frequent small collectives are also
+    what keeps this path safe on CPU-emulated meshes: each is a
+    synchronization point, so partition arrival skew never accumulates.
+
+    two_phase=True splits the step into (a) a compiled per-shard grad
+    program with ZERO collectives, whose stacked output stays sharded over
+    'data', a host-side barrier, then (b) a tiny compiled reduce+update
+    program holding the only collective (one explicit fused pmean of the
+    raveled grads). Purpose: on hosts with fewer cores than mesh devices
+    (the CPU-emulated driver dryrun), partition executions serialize, so a
+    single big program with a single late collective sees arrivals spread by
+    the FULL serialized compute time — and XLA:CPU's in-process rendezvous
+    hard-aborts the process at ~40 s of skew (not flag-configurable; the
+    round-2 dryrun failure mode). With the collective isolated in a program
+    whose pre-collective work is a slice view, arrival skew is dispatch
+    jitter only. Semantics are identical to the default path."""
 
     fwd = partial(train_forward,
                   num_frames=config['num_frames'],
@@ -139,12 +158,14 @@ def make_train_step(config: dict, optimizer, mesh: Optional[jax.sharding.Mesh] =
                   end_warm=config['end_warm'],
                   dtype=dtype)
 
-    def step(state: TrainState, frames, first_frame_gt, selector, cls_gt, rng):
-        def loss_fn(params):
-            return fwd(params, frames, first_frame_gt, selector, cls_gt,
-                       rng, state.it)
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+    def grads_and_aux(params, frames, first_frame_gt, selector, cls_gt, rng,
+                      it):
+        def loss_fn(p):
+            return fwd(p, frames, first_frame_gt, selector, cls_gt, rng, it)
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return grads, aux
+
+    def apply(state: TrainState, grads, aux):
         updates, opt_state = optimizer.update(
             grads.tree, state.opt_state, state.params.tree)
         new_tree = optax.apply_updates(state.params.tree, updates)
@@ -153,18 +174,157 @@ def make_train_step(config: dict, optimizer, mesh: Optional[jax.sharding.Mesh] =
                                 state.params.single_object)
         return TrainState(new_params, opt_state, state.it + 1), aux
 
-    if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
+    def one_program_step(state: TrainState, frames, first_frame_gt, selector,
+                         cls_gt, rng):
+        grads, aux = grads_and_aux(state.params, frames, first_frame_gt,
+                                   selector, cls_gt, rng, state.it)
+        return apply(state, grads, aux)
 
+    if mesh is None:
+        return jax.jit(one_program_step, donate_argnums=(0,))
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.flatten_util import ravel_pytree
     from jax.sharding import NamedSharding, PartitionSpec as P
+
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P('data'))
-    return jax.jit(
-        step,
-        in_shardings=(repl, data, data, data, data, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,),
-    )
+
+    if not two_phase:
+        return jax.jit(
+            one_program_step,
+            in_shardings=(repl, data, data, data, data, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+
+    # ---- two-phase: collective-free grads, host barrier, tiny reduce ------
+    def per_shard_local(params, frames, first_frame_gt, selector, cls_gt,
+                        rng, it):
+        grads, aux = grads_and_aux(params, frames, first_frame_gt, selector,
+                                   cls_gt, rng, it)
+        flat, _ = ravel_pytree(grads)
+        return flat[None, :], {k: jnp.reshape(v, (1,)).astype(flat.dtype)
+                               for k, v in aux.items()}
+
+    grads_fn = jax.jit(
+        shard_map(per_shard_local, mesh=mesh,
+                  in_specs=(P(), P('data'), P('data'), P('data'), P('data'),
+                            P(), P()),
+                  out_specs=(P('data'), P('data'))),
+        in_shardings=(repl, data, data, data, data, repl, repl),
+        out_shardings=(data, data))
+
+    REDUCE_CHUNKS = 8
+
+    def reduce_shard(flat_stacked, aux_stacked):
+        """Per-partition: chunked LOCKSTEP pmean of the local grad row.
+
+        Explicit collectives, not jnp.mean over the sharded axis: the SPMD
+        partitioner may lower that as all-gather + local reduce, which
+        materializes the full stacked buffer per partition and re-creates
+        the arrival-skew problem this path exists to avoid.
+
+        Chunked and chained, not one big pmean: each partition stages its
+        payload (a ~30 MB copy per chunk) before entering the collective;
+        on a 1-core host those stagings serialize across partitions, so ONE
+        220 MB pmean accumulates 8x-the-full-copy-time of arrival skew —
+        observed 20-80 s, intermittently past XLA:CPU's 40 s rendezvous
+        abort. With 8 chained chunks the skew per barrier is one chunk's
+        staging (~seconds), and every barrier resynchronizes the
+        partitions. The scalar data-dependence (`link`) stops the scheduler
+        from hoisting all stagings above the first collective."""
+        keys = sorted(aux_stacked)
+        row = flat_stacked[0]
+        d = row.shape[0]
+        bounds = [d * i // REDUCE_CHUNKS for i in range(REDUCE_CHUNKS + 1)]
+        outs = []
+        link = jnp.zeros((), row.dtype)
+        for i in range(REDUCE_CHUNKS):
+            seg = row[bounds[i]:bounds[i + 1]] + link * 0
+            seg = jax.lax.pmean(seg, 'data')
+            link = seg[0]
+            outs.append(seg)
+        auxv = jax.lax.pmean(
+            jnp.concatenate([aux_stacked[k] for k in keys]) + link * 0,
+            'data')
+        return jnp.concatenate(outs), auxv
+
+    reduce_sm = shard_map(reduce_shard, mesh=mesh,
+                          in_specs=(P('data'), P('data')), out_specs=P())
+
+    def _unflatten_apply(state: TrainState, flat, auxv, keys):
+        """Replicated flat grads + aux vector -> optimizer update. No
+        collectives; unflattens along the same tree order ravel_pytree
+        used."""
+        leaves, treedef = jax.tree.flatten(state.params)
+        parts, off = [], 0
+        for leaf in leaves:
+            n = leaf.size
+            parts.append(flat[off:off + n].reshape(leaf.shape).astype(
+                leaf.dtype))
+            off += n
+        grads = jax.tree.unflatten(treedef, parts)
+        aux = {k: auxv[i] for i, k in enumerate(keys)}
+        return apply(state, grads, aux)
+
+    def reduce_apply(state: TrainState, flat_stacked, aux_stacked):
+        keys = sorted(aux_stacked)
+        flat, auxv = reduce_sm(flat_stacked, aux_stacked)
+        return _unflatten_apply(state, flat, auxv, keys)
+
+    reduce_fn = jax.jit(reduce_apply,
+                        in_shardings=(repl, data, data),
+                        out_shardings=(repl, repl),
+                        donate_argnums=(0, 1))
+
+    # Fallback reduction: mean on HOST, then a collective-FREE apply
+    # program. XLA:CPU's 40 s rendezvous abort makes even the chunked
+    # in-program reduce a (small) process-kill risk under heavy host load;
+    # XMEM2_TWO_PHASE_HOST_REDUCE=1 removes every collective from the step
+    # (dryrun_multichip's retry engages it). Numerically identical.
+    apply_fn = jax.jit(_unflatten_apply,
+                       in_shardings=(repl, repl, repl),
+                       out_shardings=(repl, repl),
+                       donate_argnums=(0,),
+                       static_argnums=(3,))
+
+    import os
+    import time as _time
+    debug = os.environ.get('XMEM2_TWO_PHASE_DEBUG') == '1'
+    host_reduce = os.environ.get('XMEM2_TWO_PHASE_HOST_REDUCE') == '1'
+
+    def step(state: TrainState, frames, first_frame_gt, selector, cls_gt,
+             rng):
+        t0 = _time.perf_counter()
+        flat, auxs = grads_fn(state.params, frames, first_frame_gt, selector,
+                              cls_gt, rng, state.it)
+        if debug:
+            print(f'[two_phase] grads dispatched +{_time.perf_counter()-t0:.1f}s',
+                  flush=True)
+        # hard host barrier: the reduce program's collectives must see all
+        # partitions launch together (see docstring)
+        jax.block_until_ready(flat)
+        if debug:
+            print(f'[two_phase] grads done +{_time.perf_counter()-t0:.1f}s',
+                  flush=True)
+        if host_reduce:
+            keys = tuple(sorted(auxs))
+            mean = np.asarray(flat).mean(axis=0)
+            auxv = np.stack([np.asarray(auxs[k]).mean() for k in keys])
+            out = apply_fn(state, jnp.asarray(mean), jnp.asarray(auxv), keys)
+        else:
+            out = reduce_fn(state, flat, auxs)
+        if debug:
+            jax.block_until_ready(out)
+            print(f'[two_phase] reduce done +{_time.perf_counter()-t0:.1f}s',
+                  flush=True)
+        return out
+
+    return step
 
 
 class XMemTrainer:
@@ -172,13 +332,15 @@ class XMemTrainer:
 
     def __init__(self, config: dict, params: XMemParams,
                  mesh: Optional[jax.sharding.Mesh] = None, logger=None,
-                 save_path: Optional[str] = None, dtype=None):
+                 save_path: Optional[str] = None, dtype=None,
+                 two_phase: bool = False):
         self.config = config
         self.logger = logger
         self.save_path = save_path
         self.optimizer = make_optimizer(config)
         self.mesh = mesh
-        self.step_fn = make_train_step(config, self.optimizer, mesh, dtype)
+        self.step_fn = make_train_step(config, self.optimizer, mesh, dtype,
+                                       two_phase=two_phase)
         if mesh is None:
             params = jax.device_put(params)  # pin weights on-device once
         else:

@@ -18,7 +18,10 @@ from PIL import Image
 # 'spawn' children, not fork: the parent runs JAX's thread pools, and a
 # fork()ed child inherits their locked mutexes — PIL/numpy calls in the
 # worker then deadlock (and dropped writes fail the save). Spawned workers
-# start clean; startup cost (~100 ms, once per video) overlaps compute.
+# start clean, but re-import the CLI's __main__ module, whose top-level
+# imports (jax via honor_jax_platforms_env) take SECONDS per worker — paid
+# once per video and overlapped with compute, but if the bounded queue fills
+# before a worker finishes importing, the producer blocks until it does.
 _MP = multiprocessing.get_context('spawn')
 
 
