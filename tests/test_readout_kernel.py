@@ -171,6 +171,27 @@ class TestBoundaryTies:
                                    np.asarray(ref_usage), rtol=1e-5, atol=1e-5)
 
 
+def test_many_objects_chunked_pass_matches_jnp():
+    """8 objects at the production value width (Cv=512) splits the streamed
+    pass into VMEM-budgeted object chunks (_obj_chunk(512) == 2 -> 4 pallas
+    calls); an unchunked call at this shape scope-OOMs Mosaic's 16MB VMEM
+    limit on v5e. Group boundaries intentionally straddle chunk boundaries,
+    and usage must come from the first chunk only."""
+    from xmem2_tpu.ops.readout_kernel import _obj_chunk
+
+    assert _obj_chunk(512) < 8  # the config below must actually chunk
+    gids = (0, 0, 0, 1, 1, 2, 3, 3)
+    mk, ms, qk, qe, values, valid = make_case(5, 400, 70, 8, 4, cv=512,
+                                              invalid_tail=13)
+    ref_read, ref_usage = jnp_reference(mk, ms, qk, qe, values, valid, gids, 30)
+    got_read, got_usage = fused_topk_readout(mk, ms, qk, qe, values, valid,
+                                             gids, 30, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_read), np.asarray(ref_read),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(got_usage), np.asarray(ref_usage),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_tiny_memory_degenerates_to_full_softmax():
     mk, ms, qk, qe, values, valid = make_case(1, 20, 40, 1, 1)
     ref_read, ref_usage = jnp_reference(mk, ms, qk, qe, values, valid, (0,), 30)

@@ -51,8 +51,12 @@ def _round_up(x, m):
 
 
 def _make_kernel(n_blocks: int, num_groups: int, group_ids: Tuple[int, ...],
-                 cv: int):
+                 cv: int, compute_usage: bool):
     num_objects = len(group_ids)
+    # aff is only materialized for groups this call's objects map to (plus
+    # group 0 when this call owns the usage output) — with object chunking
+    # (see _pallas_pass) that bounds the [BQ, BN] intermediates in VMEM.
+    needed_groups = sorted(set(group_ids) | ({0} if compute_usage else set()))
 
     def kernel(sim_ref, v_ref, valid_ref, tau_ref, rmax_ref, invz_ref,
                qvalid_ref, out_ref, usage_ref, acc_ref):
@@ -72,13 +76,13 @@ def _make_kernel(n_blocks: int, num_groups: int, group_ids: Tuple[int, ...],
 
         sim = sim_ref[...]                      # [BQ, BN]
         gv = valid_ref[...]                     # [G, BN] f32
-        aff = []
-        for g in range(num_groups):
+        aff = {}
+        for g in needed_groups:
             t = tau[:, g][:, None]
             m = rmax[:, g][:, None]
             z = invz[:, g][:, None]
             w = jnp.where(sim >= t, jnp.exp(sim - m), 0.0)
-            aff.append(w * gv[g][None, :] * z * qvalid)
+            aff[g] = w * gv[g][None, :] * z * qvalid
         for o in range(num_objects):
             acc_ref[:, o * cv:(o + 1) * cv] += jnp.dot(
                 aff[group_ids[o]], v_ref[o],
@@ -87,7 +91,8 @@ def _make_kernel(n_blocks: int, num_groups: int, group_ids: Tuple[int, ...],
         @pl.when(qi == 0)
         def _():
             usage_ref[...] = jnp.zeros_like(usage_ref)
-        usage_ref[0, :] += jnp.sum(aff[0], axis=0)
+        if compute_usage:
+            usage_ref[0, :] += jnp.sum(aff[0], axis=0)
 
         @pl.when(ni == n_blocks - 1)
         def _():
@@ -96,28 +101,31 @@ def _make_kernel(n_blocks: int, num_groups: int, group_ids: Tuple[int, ...],
     return kernel
 
 
-def _pallas_pass(sim, values, valid, tau, rmax, invz, group_ids, interpret):
-    """One streamed segment pass. sim [P,N], values [O,N,Cv], valid [G,N];
-    tau/rmax/invz [P,G] shared softmax stats. Returns (out [P,O*Cv] f32
-    partial readout, usage [N] f32 group-0 usage)."""
-    p, n = sim.shape
-    o, _, cv = values.shape
-    g = valid.shape[0]
+# Scoped-VMEM budget for one streamed-readout pallas call. Per chunked
+# object the call holds (double-buffered value block + acc scratch + out
+# block + one [BQ, BN] aff intermediate) ≈ (2·BN·Cv + 3·BQ·Cv + BQ·BN)·4
+# bytes; an unchunked 8-object call at Cv=512 wants ~21MB and hard-fails
+# Mosaic's 16MB scoped-vmem limit on v5e (seen in the r3 bench).
+_VMEM_BUDGET = 8 * 1024 * 1024
 
-    pp, nn = _round_up(p, BQ), _round_up(n, BN)
-    pad_q, pad_n = pp - p, nn - n
 
-    sim_p = jnp.pad(sim, ((0, pad_q), (0, pad_n)), constant_values=-jnp.inf)
-    v_p = jnp.pad(values, ((0, 0), (0, pad_n), (0, 0))).astype(jnp.float32)
-    valid_p = jnp.pad(valid, ((0, 0), (0, pad_n))).astype(jnp.float32)
-    qvalid = (jnp.arange(pp) < p).astype(jnp.float32)[:, None]
-    tau_p = jnp.pad(tau, ((0, pad_q), (0, 0)), constant_values=jnp.inf)
-    rmax_p = jnp.pad(rmax, ((0, pad_q), (0, 0)))
-    invz_p = jnp.pad(invz, ((0, pad_q), (0, 0)))
+def _obj_chunk(cv: int) -> int:
+    per_obj = (2 * BN * cv + 3 * BQ * cv + BQ * BN) * 4
+    return max(1, _VMEM_BUDGET // per_obj)
 
-    kernel = _make_kernel(nn // BN, g, tuple(int(x) for x in group_ids), cv)
 
-    out, usage = pl.pallas_call(
+def _pallas_pass_chunk(sim_p, v_p, valid_p, tau_p, rmax_p, invz_p, qvalid,
+                       group_ids, compute_usage, interpret):
+    """One pallas call over a chunk of objects. Padded inputs; returns
+    (out [PP, o*Cv], usage [1, NN])."""
+    pp, nn = sim_p.shape
+    o, _, cv = v_p.shape
+    g = valid_p.shape[0]
+
+    kernel = _make_kernel(nn // BN, g, tuple(int(x) for x in group_ids), cv,
+                          compute_usage)
+
+    return pl.pallas_call(
         kernel,
         grid=(pp // BQ, nn // BN),
         in_specs=[
@@ -143,6 +151,45 @@ def _pallas_pass(sim, values, valid, tau, rmax, invz, group_ids, interpret):
         interpret=interpret,
     )(sim_p, v_p, valid_p, tau_p, rmax_p, invz_p, qvalid)
 
+
+def _pallas_pass(sim, values, valid, tau, rmax, invz, group_ids, interpret):
+    """One streamed segment pass. sim [P,N], values [O,N,Cv], valid [G,N];
+    tau/rmax/invz [P,G] shared softmax stats. Returns (out [P,O*Cv] f32
+    partial readout, usage [N] f32 group-0 usage).
+
+    Objects are chunked across pallas calls so each call's VMEM footprint
+    stays under _VMEM_BUDGET; ≤2-object configs (chair/caps) are a single
+    call, identical to the unchunked kernel. The similarity block is
+    re-streamed from HBM once per chunk — the value blocks dominate traffic
+    so the overhead is small, and usage is only computed by the first call.
+    """
+    p, n = sim.shape
+    o, _, cv = values.shape
+    g = valid.shape[0]
+
+    pp, nn = _round_up(p, BQ), _round_up(n, BN)
+    pad_q, pad_n = pp - p, nn - n
+
+    sim_p = jnp.pad(sim, ((0, pad_q), (0, pad_n)), constant_values=-jnp.inf)
+    v_p = jnp.pad(values, ((0, 0), (0, pad_n), (0, 0))).astype(jnp.float32)
+    valid_p = jnp.pad(valid, ((0, 0), (0, pad_n))).astype(jnp.float32)
+    qvalid = (jnp.arange(pp) < p).astype(jnp.float32)[:, None]
+    tau_p = jnp.pad(tau, ((0, pad_q), (0, 0)), constant_values=jnp.inf)
+    rmax_p = jnp.pad(rmax, ((0, pad_q), (0, 0)))
+    invz_p = jnp.pad(invz, ((0, pad_q), (0, 0)))
+
+    oc = _obj_chunk(cv)
+    outs, usage = [], None
+    for c0 in range(0, o, oc):
+        c1 = min(c0 + oc, o)
+        out_c, usage_c = _pallas_pass_chunk(
+            sim_p, v_p[c0:c1], valid_p, tau_p, rmax_p, invz_p, qvalid,
+            group_ids[c0:c1], compute_usage=(c0 == 0), interpret=interpret)
+        outs.append(out_c)
+        if c0 == 0:
+            usage = usage_c
+
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     return out[:p], usage[0, :n]
 
 
