@@ -70,6 +70,32 @@ class TestMeshHelpers:
         assert replicated(mesh8).is_fully_replicated
 
 
+class TestDriverContract:
+    """Run the driver's own artifact path: __graft_entry__.dryrun_multichip(8)
+    in a fresh subprocess, exactly as the driver invokes it. Besides proving
+    the contract, this WARMS the persistent compile cache (.jax_cache) with
+    the canonical flag set, so the driver's later invocation loads the
+    compiled SPMD step in seconds instead of cold-compiling for minutes on
+    one CPU core.
+
+    Ordered FIRST in this module on purpose: on the 1-core box the subprocess
+    runs ~4x slower once the parent pytest process holds four 8-device
+    trainers' worth of memory (observed: trainer build 25 s quiet vs 379 s
+    under a loaded parent), so it must run before the in-process trainer
+    tests — which then also reuse the cache it warms."""
+
+    @pytest.mark.slow
+    def test_dryrun_multichip_8(self):
+        import subprocess
+        import sys
+        proc = subprocess.run(
+            [sys.executable, '-u', '-c',
+             'import __graft_entry__ as g; g.dryrun_multichip(8)'],
+            cwd='/root/repo', capture_output=True, text=True, timeout=2400)
+        assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+        assert 'dryrun_multichip(8) OK' in proc.stdout, proc.stdout[-2000:]
+
+
 class TestDataParallelTrainer:
     def test_do_pass_on_8dev_mesh(self, mesh8):
         """One real DP step: finite loss, sharded batch, replicated params,
@@ -133,32 +159,37 @@ class TestDataParallelTrainer:
         assert leaf.sharding.is_fully_replicated
         assert len(leaf.sharding.device_set) == 8
 
+    def test_two_phase_host_reduce_matches_single_device(self, mesh8,
+                                                         monkeypatch):
+        """XMEM2_TWO_PHASE_HOST_REDUCE=1 (the dryrun's zero-collective retry
+        path) must also reproduce the single-device loss. Decisive against
+        the jax-0.9 shard_map check_vma pitfall: if the backward pass were
+        silently psumming grads (pvary transpose), each shard's aux row
+        would already be the global SUM and the host mean would report
+        n_devices x the true loss."""
+        monkeypatch.setenv('XMEM2_TWO_PHASE_HOST_REDUCE', '1')
+        batch = synth_batch(b=8, seed=3)
+        rng = jax.random.PRNGKey(7)
+
+        t_single = XMemTrainer(CONFIG, init_params(seed=0))
+        aux_single = t_single.do_pass(batch, it=0, rng=rng)
+
+        t_host = XMemTrainer(CONFIG, init_params(seed=0), mesh=mesh8,
+                             two_phase=True)
+        aux_host = t_host.do_pass(batch, it=0, rng=rng)
+
+        np.testing.assert_allclose(
+            float(aux_host['total_loss']), float(aux_single['total_loss']),
+            rtol=2e-4)
+        leaf = jax.tree.leaves(t_host.state.params.tree)[0]
+        assert leaf.sharding.is_fully_replicated
+
     def test_do_pass_host_numpy_batch(self, mesh8):
         """do_pass shards a plain host numpy batch itself (the
         DistributedSampler + .cuda() path of the reference)."""
         trainer = XMemTrainer(CONFIG, init_params(seed=0), mesh=mesh8)
         aux = trainer.do_pass(synth_batch(b=8, seed=1), it=0)
         assert np.isfinite(float(aux['total_loss']))
-
-
-class TestDriverContract:
-    """Run the driver's own artifact path: __graft_entry__.dryrun_multichip(8)
-    in a fresh subprocess, exactly as the driver invokes it. Besides proving
-    the contract, this WARMS the persistent compile cache (.jax_cache) with
-    the canonical flag set, so the driver's later invocation loads the
-    compiled SPMD step in seconds instead of cold-compiling for minutes on
-    one CPU core."""
-
-    @pytest.mark.slow
-    def test_dryrun_multichip_8(self):
-        import subprocess
-        import sys
-        proc = subprocess.run(
-            [sys.executable, '-u', '-c',
-             'import __graft_entry__ as g; g.dryrun_multichip(8)'],
-            cwd='/root/repo', capture_output=True, text=True, timeout=840)
-        assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
-        assert 'dryrun_multichip(8) OK' in proc.stdout, proc.stdout[-2000:]
 
 
 class TestMultiHostBootstrap:

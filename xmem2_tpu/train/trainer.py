@@ -210,11 +210,19 @@ def make_train_step(config: dict, optimizer, mesh: Optional[jax.sharding.Mesh] =
         return flat[None, :], {k: jnp.reshape(v, (1,)).astype(flat.dtype)
                                for k, v in aux.items()}
 
+    # check_vma=False is load-bearing: with the default vma checking, jax 0.9
+    # inserts pvary() where the replicated params meet the sharded batch, and
+    # pvary's TRANSPOSE is psum — so the backward pass all-reduces every
+    # gradient leaf and this "collective-free" program actually carries
+    # hundreds of collectives (the round-2 SIGABRT source). It is also a
+    # numerics bug: each shard's row is then already the global SUM, so the
+    # downstream mean over shards yields n_devices x the true mean grad.
+    # With check_vma=False the grads are truly per-shard-local.
     grads_fn = jax.jit(
         shard_map(per_shard_local, mesh=mesh,
                   in_specs=(P(), P('data'), P('data'), P('data'), P('data'),
                             P(), P()),
-                  out_specs=(P('data'), P('data'))),
+                  out_specs=(P('data'), P('data')), check_vma=False),
         in_shardings=(repl, data, data, data, data, repl, repl),
         out_shardings=(data, data))
 
