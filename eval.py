@@ -260,8 +260,14 @@ def main():
             if args.save_scores:
                 prob_dir = path.join(args.output, 'Scores', vid_name)
                 os.makedirs(prob_dir, exist_ok=True)
+                if ti == vid_length - 1:
+                    # label remappings for merge_multi_scale's backward remap
+                    # (reference eval.py:241 dumps backward.hkl the same way)
+                    import json
+                    with open(path.join(prob_dir, 'backward.json'), 'w') as f:
+                        json.dump(mapper.remappings, f)
                 np.savez_compressed(
-                    path.join(prob_dir, f'backward_{frame[:-4]}.npz'),
+                    path.join(prob_dir, f'{frame[:-4]}.npz'),
                     prob=(prob_np * 255).astype(np.uint8))
 
             save_frame(sample, out_mask)

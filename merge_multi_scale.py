@@ -69,9 +69,9 @@ def process_vid(vid, all_options, out_path, dataset, palette_bytes):
 
         img = Image.fromarray(idx_mask)
         img.putpalette(palette_bytes)
-        # scores are saved as backward_<frame>.npz by eval.py
-        name = f.replace('backward_', '')[:-4]
-        img.save(path.join(this_out_path, name + '.png'))
+        # scores are saved as <frame>.npz by eval.py --save_scores; the
+        # 'backward' filter above excludes only backward.json
+        img.save(path.join(this_out_path, f[:-4] + '.png'))
 
 
 if __name__ == '__main__':

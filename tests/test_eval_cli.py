@@ -1,6 +1,7 @@
 """eval.py CLI smoke: generic-dataset evaluation end-to-end — palette PNG
 outputs, FPS report, score dumps for merge_multi_scale."""
 
+import json
 import os
 import subprocess
 import sys
@@ -63,8 +64,15 @@ def test_eval_generic(mini_generic, tmp_path):
 
     scores = sorted((out / 'Scores' / 'chair').glob('*.npz'))
     assert len(scores) == 5
+    assert not any('backward' in p.name for p in scores), \
+        'score files must be <frame>.npz so merge_multi_scale picks them up'
     with np.load(scores[0]) as z:
         assert z['prob'].ndim == 3
+    # the label-remap sidecar merge_multi_scale's backward remap consumes
+    # (reference eval.py:241 dumps backward.hkl at the last frame)
+    backward = json.loads(
+        (out / 'Scores' / 'chair' / 'backward.json').read_text())
+    assert all(isinstance(int(k), int) for k in backward)
 
 
 @pytest.mark.slow
