@@ -384,16 +384,21 @@ def frame_flops(net, cfg, samples, msk0, labels):
         return None
 
 
-# bf16 peak TFLOP/s per chip by device kind (public specs)
-_PEAK_TFLOPS = {'v4': 275.0, 'v5e': 197.0, 'v5litepod': 197.0, 'v5p': 459.0,
-                'v6e': 918.0}
+# bf16 peak TFLOP/s per chip by device kind (public specs); keys are matched
+# against the space-stripped lowercase device_kind, most specific first
+_PEAK_TFLOPS = (('v6e', 918.0), ('v5p', 459.0), ('v5lite', 197.0),
+                ('v5e', 197.0), ('v4', 275.0))
 
 
 def peak_tflops():
+    import os
+    env = os.environ.get('XMEM2_PEAK_TFLOPS')
+    if env:
+        return float(env)
     try:
         import jax
-        kind = jax.devices()[0].device_kind.lower().replace('tpu ', '')
-        for k, v in _PEAK_TFLOPS.items():
+        kind = jax.devices()[0].device_kind.lower().replace(' ', '')
+        for k, v in _PEAK_TFLOPS:
             if k in kind:
                 return v
     except Exception:

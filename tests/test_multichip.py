@@ -243,10 +243,18 @@ print("BOOTSTRAP_OK", float(aux["total_loss"]))
         assert 'jax.distributed initialized: process 0 of 1' in proc.stdout
 
     def test_not_triggered_without_env(self):
+        import importlib.util
         import os
         for var in ('XMEM2_DIST', 'JAX_COORDINATOR_ADDRESS'):
             assert var not in os.environ
-        import train
+        # Load OUR train.py by path: oracle tests put /root/reference on
+        # sys.path, where a same-named train.py (unimportable here — needs
+        # gitpython) would otherwise win the name.
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            'xmem2_repo_train', os.path.join(repo, 'train.py'))
+        train = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(train)
         assert train.maybe_init_distributed() is False
 
 
