@@ -184,6 +184,29 @@ class TestDataParallelTrainer:
         leaf = jax.tree.leaves(t_host.state.params.tree)[0]
         assert leaf.sharding.is_fully_replicated
 
+    def test_seq_grads_matches_single_device(self, mesh8, monkeypatch):
+        """XMEM2_SEQ_GRADS=1 (the dryrun's execution strategy: per-shard
+        grads run one-at-a-time on a single device, mesh reduce unchanged)
+        must reproduce the single-device loss exactly like the concurrent
+        SPMD execution does, and leave params replicated."""
+        monkeypatch.setenv('XMEM2_SEQ_GRADS', '1')
+        batch = synth_batch(b=8, seed=3)
+        rng = jax.random.PRNGKey(7)
+
+        t_single = XMemTrainer(CONFIG, init_params(seed=0))
+        aux_single = t_single.do_pass(batch, it=0, rng=rng)
+
+        t_seq = XMemTrainer(CONFIG, init_params(seed=0), mesh=mesh8,
+                            two_phase=True)
+        aux_seq = t_seq.do_pass(batch, it=0, rng=rng)
+
+        np.testing.assert_allclose(
+            float(aux_seq['total_loss']), float(aux_single['total_loss']),
+            rtol=2e-4)
+        leaf = jax.tree.leaves(t_seq.state.params.tree)[0]
+        assert leaf.sharding.is_fully_replicated
+        assert len(leaf.sharding.device_set) == 8
+
     def test_do_pass_host_numpy_batch(self, mesh8):
         """do_pass shards a plain host numpy batch itself (the
         DistributedSampler + .cuda() path of the reference)."""

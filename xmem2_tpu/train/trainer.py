@@ -304,18 +304,68 @@ def make_train_step(config: dict, optimizer, mesh: Optional[jax.sharding.Mesh] =
     import time as _time
     debug = os.environ.get('XMEM2_TWO_PHASE_DEBUG') == '1'
     host_reduce = os.environ.get('XMEM2_TWO_PHASE_HOST_REDUCE') == '1'
+    seq_grads = os.environ.get('XMEM2_SEQ_GRADS') == '1'
+
+    # XMEM2_SEQ_GRADS=1: compute the per-shard grads as ONE vmapped
+    # single-device program instead of one 8-partition SPMD program. Each
+    # vmap lane computes exactly the gradient device d would produce from
+    # its own shard (the grads program is collective-free, so this is
+    # semantically identical lane-for-lane) — but a single vectorized
+    # program sidesteps the n-runnable-threads-on-1-core futex/fault churn
+    # of concurrent partition execution (observed: 300 s wall, ~95% system
+    # time, for 8 partitions of the tiny dryrun step) AND the ~8x thunk
+    # dispatch overhead of running the shards back-to-back. Only for
+    # CPU-emulated meshes (the driver dryrun); on real multi-chip hardware
+    # partitions run on their own chips for free.
+    def _all_shards_local(params, frames, first_frame_gt, selector, cls_gt,
+                          rng, it):
+        """inputs stacked [n_shards, rows_per_shard, ...] -> per-shard flat
+        grad rows [n_shards, D] and aux columns [n_shards]."""
+        def one(fr, gt, sel, cg):
+            flat, aux = per_shard_local(params, fr, gt, sel, cg, rng, it)
+            return flat[0], {k: v[0] for k, v in aux.items()}
+        return jax.vmap(one)(frames, first_frame_gt, selector, cls_gt)
+
+    local_grads = jax.jit(_all_shards_local)
+
+    def _seq_shard_grads(state: TrainState, frames, first_frame_gt, selector,
+                         cls_gt, rng):
+        n = int(np.prod(list(mesh.shape.values())))
+        params0 = jax.tree.map(
+            lambda x: x.addressable_shards[0].data, state.params)
+        it0 = np.asarray(state.it)
+
+        def shard_rows(x):
+            if isinstance(x, jax.Array) and len(x.sharding.device_set) > 1:
+                shards = sorted(x.addressable_shards,
+                                key=lambda s: s.index[0].start or 0)
+                return np.stack([np.asarray(s.data) for s in shards])
+            x = np.asarray(x)
+            return x.reshape((n, x.shape[0] // n) + x.shape[1:])
+
+        cols = [shard_rows(a)
+                for a in (frames, first_frame_gt, selector, cls_gt)]
+        flat, auxs = local_grads(params0, cols[0], cols[1], cols[2], cols[3],
+                                 rng, it0)
+        flat = np.asarray(flat)
+        auxs = {k: np.asarray(v) for k, v in auxs.items()}
+        return flat, auxs
 
     def step(state: TrainState, frames, first_frame_gt, selector, cls_gt,
              rng):
         t0 = _time.perf_counter()
-        flat, auxs = grads_fn(state.params, frames, first_frame_gt, selector,
-                              cls_gt, rng, state.it)
-        if debug:
-            print(f'[two_phase] grads dispatched +{_time.perf_counter()-t0:.1f}s',
-                  flush=True)
-        # hard host barrier: the reduce program's collectives must see all
-        # partitions launch together (see docstring)
-        jax.block_until_ready(flat)
+        if seq_grads:
+            flat, auxs = _seq_shard_grads(state, frames, first_frame_gt,
+                                          selector, cls_gt, rng)
+        else:
+            flat, auxs = grads_fn(state.params, frames, first_frame_gt,
+                                  selector, cls_gt, rng, state.it)
+            if debug:
+                print(f'[two_phase] grads dispatched '
+                      f'+{_time.perf_counter()-t0:.1f}s', flush=True)
+            # hard host barrier: the reduce program's collectives must see
+            # all partitions launch together (see docstring)
+            jax.block_until_ready(flat)
         if debug:
             print(f'[two_phase] grads done +{_time.perf_counter()-t0:.1f}s',
                   flush=True)
