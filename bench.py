@@ -96,10 +96,10 @@ def run_video(net, cfg, samples, msk0, labels, window=16):
         inflight.append((mask, s.shape[1]))
         if len(inflight) > window:
             m, w = inflight.popleft()
-            results.append(unpack_mask(m, w))
+            results.append(unpack_mask(m, w, proc.pack_bits))
     while inflight:
         m, w = inflight.popleft()
-        results.append(unpack_mask(m, w))
+        results.append(unpack_mask(m, w, proc.pack_bits))
     return results
 
 

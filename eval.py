@@ -217,7 +217,8 @@ def main():
                     total_process_time += time.perf_counter() - a
                     total_frames += len(chunk)
                     for j, s in enumerate(chunk):
-                        save_frame(s, unpack_mask(packs[j], out_hw[1]))
+                        save_frame(s, unpack_mask(packs[j], out_hw[1],
+                                                  processor.pack_bits))
                         lookahead.popleft()
                     ti += len(chunk)
                     continue
@@ -253,7 +254,7 @@ def main():
                 _, packed, _ = processor.step(rgb, msk, labels,
                                               end=(ti == vid_length - 1),
                                               pack_hw=out_hw)
-                out_mask = unpack_mask(packed, out_hw[1])
+                out_mask = unpack_mask(packed, out_hw[1], processor.pack_bits)
             total_process_time += time.perf_counter() - a
             total_frames += 1
 

@@ -93,8 +93,8 @@ def test_chunked_matches_per_frame():
 
     # identical masks frame by frame (tiny float-order wiggle tolerated)
     for ti in range(n):
-        ma = unpack_mask(packs_a[ti], W)
-        mb = unpack_mask(packs_b[ti], W)
+        ma = unpack_mask(packs_a[ti], W, a.pack_bits)
+        mb = unpack_mask(packs_b[ti], W, b.pack_bits)
         agree = float(np.mean(ma == mb))
         assert agree >= 0.999, f'frame {ti}: only {agree:.4f} agreement'
 

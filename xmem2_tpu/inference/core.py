@@ -236,6 +236,14 @@ class InferenceCore:
     def set_all_labels(self, all_labels: List[int]):
         self.all_labels = list(all_labels)
 
+    @property
+    def pack_bits(self) -> int:
+        """Bit width step/step_chunk's packed masks use (derives from the
+        probability map's static channel count = background + objects). Pass
+        to `unpack_mask` host-side."""
+        from xmem2_tpu.inference.postprocess import mask_pack_bits
+        return mask_pack_bits(1 + len(self.all_labels or []))
+
     def encode_frame_key(self, image: jnp.ndarray):
         """image [H, W, 3] float or uint8 -> (key, shrinkage, selection)."""
         if image.dtype == jnp.uint8:

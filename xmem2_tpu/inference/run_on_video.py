@@ -211,7 +211,9 @@ def _inference_on_video(frames_with_masks, imgs_in_path, masks_in_path,
                 packs = np.asarray(packs)
                 dt = (perf_counter() - a) / k
                 for j, s in enumerate(chunk):
-                    finish_frame(ti + j, s, unpack_mask(packs[j], out_hw[1]),
+                    finish_frame(ti + j, s,
+                                 unpack_mask(packs[j], out_hw[1],
+                                             processor.pack_bits),
                                  False, dt)
                 progress.update(k)
                 ti += k
@@ -237,14 +239,14 @@ def _inference_on_video(frames_with_masks, imgs_in_path, masks_in_path,
                 do_not_add_mask_to_memory = msk is not None
 
             a = perf_counter()
-            # resize-back + argmax + 4-bit pack run inside the step's compiled
+            # resize-back + argmax + bit-pack run inside the step's compiled
             # program; only the packed index mask crosses device->host
             _, packed, _ = processor.step(
                 jnp.asarray(sample.rgb), msk, labels, end=(ti == vid_length - 1),
                 manually_curated_masks=manually_curated_masks,
                 do_not_add_mask_to_memory=do_not_add_mask_to_memory,
                 pack_hw=out_hw)
-            out_mask = unpack_mask(packed, out_hw[1])
+            out_mask = unpack_mask(packed, out_hw[1], processor.pack_bits)
             finish_frame(ti, sample, out_mask, msk is not None,
                          perf_counter() - a)
             lookahead.popleft()
