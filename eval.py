@@ -49,12 +49,24 @@ def main():
     parser.add_argument('--save_scores', action='store_true')
     parser.add_argument('--size', type=int, default=480,
                         help='resize shorter side, -1 for original')
-    parser.add_argument('--compute_dtype', default='bfloat16',
-                        choices=['float32', 'bfloat16'])
-    parser.add_argument('--chunked', action='store_true',
+    parser.add_argument('--compute_dtype', default='auto',
+                        choices=['auto', 'float32', 'bfloat16'],
+                        help="'auto' = bfloat16 on TPU, float32 elsewhere")
+    parser.add_argument('--exact', action='store_true',
+                        help='force float32 compute + float32 memory value '
+                             'stores (bit-closer parity with the fp32 '
+                             'reference); overrides --compute_dtype')
+    parser.add_argument('--chunked', default=None,
+                        action='store_true',
                         help='Run plain-frame runs as one compiled program '
                              '(InferenceCore.step_chunk): amortizes '
-                             'per-dispatch cost on host-attached TPUs')
+                             'per-dispatch cost on host-attached TPUs. '
+                             'Default on; --no_chunked disables.')
+    parser.add_argument('--no_chunked', dest='chunked', action='store_false')
+    parser.add_argument('--memory_shards', type=int, default=0,
+                        help='shard the memory banks over this many chips '
+                             '(a `memory` mesh axis); the per-frame readout '
+                             'runs as an exact sharded program. 0 = off')
     parser.add_argument('--profile_dir', default=None,
                         help='write a jax.profiler device trace here '
                              '(view with tensorboard --logdir)')
@@ -63,6 +75,10 @@ def main():
                              'DRAM instead of discarding them; they revive '
                              'when max_long_term_elements is raised live')
     args = parser.parse_args()
+    if args.chunked is None:
+        args.chunked = True       # default on; --no_chunked opts out
+    if args.exact:
+        args.compute_dtype = 'float32'
 
     import jax
     import jax.numpy as jnp
@@ -85,7 +101,10 @@ def main():
         'max_long_term_elements': args.max_long_term_elements,
         'num_prototypes': args.num_prototypes,
         'compute_dtype': args.compute_dtype,
+        'value_store_dtype': 'float32' if args.exact else
+                             VIDEO_INFERENCE_CONFIG['value_store_dtype'],
         'spill_long_term': args.spill_long_term,
+        'memory_shards': args.memory_shards,
     })
 
     if args.output is None:
@@ -133,8 +152,10 @@ def main():
         raise NotImplementedError(args.dataset)
 
     params = load_any(args.model)
+    from xmem2_tpu.config import resolve_dtype_name
     network = XMemNet(params, compute_dtype={
-        'float32': jnp.float32, 'bfloat16': jnp.bfloat16}[args.compute_dtype])
+        'float32': jnp.float32, 'bfloat16': jnp.bfloat16}[
+            resolve_dtype_name(args.compute_dtype)])
 
     from xmem2_tpu.utils.profiling import device_trace
     profile_ctx = device_trace(args.profile_dir)

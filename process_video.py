@@ -23,8 +23,13 @@ if __name__ == '__main__':
     parser.add_argument('--model', type=str, default=None,
                         help='Optional model checkpoint override (.pth or .npz)')
     parser.add_argument('--compute_dtype', type=str, default=None,
-                        choices=['float32', 'bfloat16'],
-                        help='Optional compute dtype override')
+                        choices=['auto', 'float32', 'bfloat16'],
+                        help='Optional compute dtype override '
+                             "('auto' = bfloat16 on TPU, float32 elsewhere)")
+    parser.add_argument('--exact', action='store_true',
+                        help='force float32 compute + float32 memory value '
+                             'stores (bit-closer parity with the fp32 '
+                             'reference)')
     parser.add_argument('--size', type=int, default=None,
                         help='Resize shorter side to this (default 480; -1 keeps original)')
     args = parser.parse_args()
@@ -45,6 +50,9 @@ if __name__ == '__main__':
         overwrite_config['model'] = args.model
     if args.compute_dtype is not None:
         overwrite_config['compute_dtype'] = args.compute_dtype
+    if args.exact:
+        overwrite_config['compute_dtype'] = 'float32'
+        overwrite_config['value_store_dtype'] = 'float32'
     if args.size is not None:
         overwrite_config['size'] = args.size
 

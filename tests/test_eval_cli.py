@@ -82,7 +82,8 @@ def test_eval_chunked_matches(mini_generic, tmp_path):
     root, ckpt = mini_generic
     env = dict(os.environ, JAX_PLATFORMS='cpu')
     outs = {}
-    for tag, extra in (('plain', []), ('chunked', ['--chunked'])):
+    # chunked is the default now; the per-frame arm must opt out explicitly
+    for tag, extra in (('plain', ['--no_chunked']), ('chunked', ['--chunked'])):
         out = tmp_path / tag
         r = subprocess.run(
             [sys.executable, 'eval.py', '--dataset', 'G',
@@ -96,6 +97,34 @@ def test_eval_chunked_matches(mini_generic, tmp_path):
         assert len(outs[tag]) == 5
 
     for pa, pb in zip(outs['plain'], outs['chunked']):
+        a = np.asarray(Image.open(pa))
+        b = np.asarray(Image.open(pb))
+        assert float(np.mean(a == b)) >= 0.999, pa.name
+
+
+@pytest.mark.slow
+def test_eval_memory_shards_matches(mini_generic, tmp_path):
+    """--memory_shards 8: the CLI-reachable multi-chip memory-bank path (the
+    banks live sharded over the 8-virtual-CPU mesh, the per-frame readout is
+    the exact sharded program) produces the same masks as the single-chip
+    run."""
+    root, ckpt = mini_generic
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    outs = {}
+    for tag, extra in (('single', []), ('sharded', ['--memory_shards', '8'])):
+        out = tmp_path / tag
+        r = subprocess.run(
+            [sys.executable, 'eval.py', '--dataset', 'G',
+             '--generic_path', str(root), '--model', str(ckpt),
+             '--output', str(out), '--size', '144', '--save_all',
+             '--no_chunked', '--compute_dtype', 'float32'] + extra,
+            capture_output=True, text=True, timeout=500,
+            cwd=str(Path(__file__).parent.parent), env=env)
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[tag] = sorted((out / 'chair').glob('*.png'))
+        assert len(outs[tag]) == 5
+
+    for pa, pb in zip(outs['single'], outs['sharded']):
         a = np.asarray(Image.open(pa))
         b = np.asarray(Image.open(pb))
         assert float(np.mean(a == b)) >= 0.999, pa.name

@@ -32,9 +32,24 @@ VIDEO_INFERENCE_CONFIG = {
     'workspace': None,
     'save_masks': True,
     # --- TPU-specific extensions (not present in the reference) ---
-    # Compute dtype for the conv/matmul heavy paths. 'bfloat16' is the TPU
-    # fast path; 'float32' gives bit-closer parity with the fp32 reference.
-    'compute_dtype': 'float32',
+    # Compute dtype for the conv/matmul heavy paths. 'auto' (default) picks
+    # 'bfloat16' on TPU — the AMP analog of the reference's autocast default
+    # (reference run_on_video.py:75) — and 'float32' elsewhere. Set 'float32'
+    # (CLI --exact) for bit-closer parity with the fp32 reference; the
+    # accuracy envelope of bf16 is pinned in tests/test_e2e_parity.py.
+    'compute_dtype': 'auto',
+    # Dtype the memory value banks are stored in: same 'auto' rule. bf16
+    # halves value-bank HBM footprint and readout traffic.
+    'value_store_dtype': 'auto',
+    # Upload raw uint8 frames and normalize/resize on device (4x smaller
+    # host->device transfers, host off the critical path). False restores
+    # the reference's host-side float32 preprocessing.
+    'device_preprocess': True,
+    # Execute runs of steady-state frames as one compiled program
+    # (InferenceCore.step_chunk — identical semantics, amortized dispatch).
+    'chunk_frames': True,
+    # Frames in flight before the oldest packed mask is fetched back.
+    'pipeline_depth': 4,
     # Capacity (in frames) that the permanent-memory buffer is bucketed to;
     # growing past a bucket boundary triggers one recompile.
     'permanent_buffer_frames': 4,
@@ -45,4 +60,21 @@ VIDEO_INFERENCE_CONFIG = {
     # discarding them; archived rows revive when max_long_term_elements is
     # raised live (MemoryManager.update_config / the GUI slider).
     'spill_long_term': False,
+    # Shard the memory banks' slot axes over this many chips (a 'memory'
+    # mesh axis); the per-frame match runs as an exact sharded readout
+    # (local top-k -> one ICI all_gather -> local partial readout -> psum,
+    # parallel/sharded_readout.py). 0/1 = single-chip banks. Scales the bank
+    # beyond one chip's HBM; no reference analog (one GPU's VRAM bounds it).
+    'memory_shards': 0,
 }
+
+
+def resolve_dtype_name(name) -> str:
+    """Resolve a config dtype name: 'auto' -> 'bfloat16' when running on TPU
+    (the MXU-native dtype), 'float32' everywhere else (keeps CPU test runs at
+    exact fp32 parity). Explicit names pass through."""
+    name = str(name)
+    if name == 'auto':
+        import jax
+        return 'bfloat16' if jax.default_backend() == 'tpu' else 'float32'
+    return name

@@ -11,12 +11,17 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from xmem2_tpu.nn.functional import resize_bilinear
 from xmem2_tpu.utils.resize_np import shorter_side_size
 
-IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
-IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+# numpy (NOT jnp) on purpose: this module is imported lazily, sometimes from
+# inside an active jit trace (core.py:56), and modern JAX stages jnp calls
+# into the ambient trace — a module-level jnp constant born there would leak
+# that trace's tracer into every later call.
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 @partial(jax.jit, static_argnames=('size',))

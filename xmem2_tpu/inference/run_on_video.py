@@ -30,7 +30,9 @@ from xmem2_tpu.utils.iou import compute_array_iou
 
 
 def _resolve_dtype(name: str):
-    return {'float32': jnp.float32, 'bfloat16': jnp.bfloat16}[name]
+    from xmem2_tpu.config import resolve_dtype_name
+    return {'float32': jnp.float32,
+            'bfloat16': jnp.bfloat16}[resolve_dtype_name(name)]
 
 
 def _load_main_objects(imgs_in_path, masks_in_path, config):
@@ -42,7 +44,7 @@ def _load_main_objects(imgs_in_path, masks_in_path, config):
         raise FileNotFoundError(f'model checkpoint not found: {model_path}')
 
     network = XMemNet(params, compute_dtype=_resolve_dtype(
-        config.get('compute_dtype', 'float32')))
+        config.get('compute_dtype', 'auto')))
     mapper = MaskMapper()
     processor = InferenceCore(network, config=config)
     vid_reader = _create_reader(imgs_in_path, masks_in_path, config)
@@ -51,7 +53,8 @@ def _load_main_objects(imgs_in_path, masks_in_path, config):
 
 def _create_reader(imgs_in_path, masks_in_path, config) -> VideoReader:
     vid_reader = VideoReader(
-        '', imgs_in_path, masks_in_path, size=config['size'], use_all_masks=True)
+        '', imgs_in_path, masks_in_path, size=config['size'], use_all_masks=True,
+        host_preprocess=not config.get('device_preprocess', True))
     vid_length = len(vid_reader)
     # no need to count LT usage if the video is short (reference :190-196)
     config['enable_long_term_count_usage'] = (
@@ -72,6 +75,7 @@ def _preload_permanent_memory(frames_to_put_in_permanent_memory: List[int],
     at_least_one_mask_loaded = False
     for j in frames_to_put_in_permanent_memory:
         sample = vid_reader[j]
+        frame_rgb = sample.rgb if sample.rgb is not None else sample.rgb_u8
         if sample.mask is None:
             raise FileNotFoundError(
                 f"Couldn't find mask {j}! Check that the filename matches the "
@@ -85,7 +89,7 @@ def _preload_permanent_memory(frames_to_put_in_permanent_memory: List[int],
 
         processor.set_all_labels(list(mapper.remappings.values()))
         a = perf_counter()
-        processor.put_to_permanent_memory(jnp.asarray(sample.rgb),
+        processor.put_to_permanent_memory(jnp.asarray(frame_rgb),
                                           jnp.asarray(msk), ti=j)
         total_preloading_time += perf_counter() - a
         at_least_one_mask_loaded = True
@@ -141,13 +145,18 @@ def _inference_on_video(frames_with_masks, imgs_in_path, masks_in_path,
     if not at_least_one_mask_loaded:
         raise ValueError('No valid masks provided!')
 
-    # chunked stepping (config['chunk_frames']=True / XMEM2_CHUNKED=1): runs
-    # of plain frames execute as one compiled program (InferenceCore.
-    # step_chunk) — a TPU dispatch-amortization path with identical
-    # semantics; disabled under the flag combos it cannot honor
+    # chunked stepping (default ON; config['chunk_frames']=False /
+    # XMEM2_CHUNKED=0 opts out): runs of plain frames execute as one compiled
+    # program (InferenceCore.step_chunk) — a TPU dispatch-amortization path
+    # with identical semantics (tests/test_chunked_step.py pins mask
+    # equality); disabled under the flag combos it cannot honor
     use_chunks = bool(config.get(
-        'chunk_frames', os.environ.get('XMEM2_CHUNKED', '0') == '1'))
+        'chunk_frames', os.environ.get('XMEM2_CHUNKED', '1') != '0'))
     use_chunks &= not manually_curated_masks
+    # frames in flight before the oldest packed mask is fetched: overlaps the
+    # device->host transfer (and the dispatch RTT on remote-attached chips)
+    # with compute on the following frames. 1 = fully synchronous.
+    pipeline_depth = max(int(config.get('pipeline_depth', 4)), 1)
 
     stats = []
     total_processing_time = 0.0
@@ -156,9 +165,7 @@ def _inference_on_video(frames_with_masks, imgs_in_path, masks_in_path,
             overlay_color_if_b_and_w=object_color_if_single_object,
             max_queue_size=image_saving_max_queue_size) as im_saver:
 
-        def finish_frame(ti, sample, out_mask, mask_provided, dt):
-            nonlocal total_processing_time
-            total_processing_time += dt
+        def finish_frame(ti, sample, out_mask, mask_provided):
             curr_stat = {'frame': sample.frame, 'mask_provided': mask_provided}
             if compute_iou:
                 gt = sample.mask  # original-resolution GT or None
@@ -177,6 +184,25 @@ def _inference_on_video(frames_with_masks, imgs_in_path, masks_in_path,
                     im_saver.save_overlay(orig_img=sample.raw_image_pil,
                                           mask=out_img, frame_name=sample.frame)
 
+        # in-flight packed masks: (ti, sample, packed device buffer,
+        # pack width, pack bits, mask_provided). Fetch + host post-processing
+        # happen `pipeline_depth` frames behind submission, so the
+        # device->host transfer (and dispatch RTT on remote-attached chips)
+        # overlaps compute on the following frames.
+        from collections import deque
+        inflight = deque()
+
+        def drain_one():
+            fti, fsample, packed, width, bits, provided = inflight.popleft()
+            out_mask = unpack_mask(np.asarray(packed), width, bits)
+            finish_frame(fti, fsample, out_mask, provided)
+
+        def submit(ti, sample, packed, width, bits, provided):
+            packed.copy_to_host_async()
+            inflight.append((ti, sample, packed, width, bits, provided))
+            while len(inflight) >= pipeline_depth:
+                drain_one()
+
         # peekable buffer over the reader's background-prefetched iterator:
         # chunk lookahead must not forfeit the decode/compute overlap of
         # __iter__, and must not double-load frames via __getitem__
@@ -190,10 +216,12 @@ def _inference_on_video(frames_with_masks, imgs_in_path, masks_in_path,
             return lookahead[j]
 
         progress = tqdm(total=vid_length, disable=not print_progress)
+        loop_start = perf_counter()
         ti = 0
         while ti < vid_length:
             sample = peek(0)
             out_hw = tuple(int(x) for x in sample.shape)
+            frame_rgb = sample.rgb if sample.rgb is not None else sample.rgb_u8
 
             # how many upcoming frames can go through one chunk dispatch
             k = 0
@@ -205,16 +233,13 @@ def _inference_on_video(frames_with_masks, imgs_in_path, masks_in_path,
                 chunk = [peek(j) for j in range(k)]
                 for _ in range(k):
                     lookahead.popleft()
-                a = perf_counter()
-                stack = jnp.asarray(np.stack([s.rgb for s in chunk]))
+                stack = jnp.asarray(np.stack(
+                    [s.rgb if s.rgb is not None else s.rgb_u8
+                     for s in chunk]))
                 packs, _ = processor.step_chunk(stack, pack_hw=out_hw)
-                packs = np.asarray(packs)
-                dt = (perf_counter() - a) / k
+                bits = processor.pack_bits
                 for j, s in enumerate(chunk):
-                    finish_frame(ti + j, s,
-                                 unpack_mask(packs[j], out_hw[1],
-                                             processor.pack_bits),
-                                 False, dt)
+                    submit(ti + j, s, packs[j], out_hw[1], bits, False)
                 progress.update(k)
                 ti += k
                 continue
@@ -238,20 +263,22 @@ def _inference_on_video(frames_with_masks, imgs_in_path, masks_in_path,
             else:
                 do_not_add_mask_to_memory = msk is not None
 
-            a = perf_counter()
             # resize-back + argmax + bit-pack run inside the step's compiled
             # program; only the packed index mask crosses device->host
             _, packed, _ = processor.step(
-                jnp.asarray(sample.rgb), msk, labels, end=(ti == vid_length - 1),
+                jnp.asarray(frame_rgb), msk, labels,
+                end=(ti == vid_length - 1),
                 manually_curated_masks=manually_curated_masks,
                 do_not_add_mask_to_memory=do_not_add_mask_to_memory,
                 pack_hw=out_hw)
-            out_mask = unpack_mask(packed, out_hw[1], processor.pack_bits)
-            finish_frame(ti, sample, out_mask, msk is not None,
-                         perf_counter() - a)
+            submit(ti, sample, packed, out_hw[1], processor.pack_bits,
+                   msk is not None)
             lookahead.popleft()
             progress.update(1)
             ti += 1
+        while inflight:
+            drain_one()
+        total_processing_time = perf_counter() - loop_start
         progress.close()
         im_saver.wait_for_jobs_to_finish(verbose=print_progress)
 

@@ -84,8 +84,11 @@ def _make_kernel(n_blocks: int, num_groups: int, group_ids: Tuple[int, ...],
             w = jnp.where(sim >= t, jnp.exp(sim - m), 0.0)
             aff[g] = w * gv[g][None, :] * z * qvalid
         for o in range(num_objects):
+            # values stream in their storage dtype (bf16 halves the HBM
+            # traffic of the dominant operand); the upcast happens per block
+            # in VMEM, so numerics match the jnp path's astype(f32) einsum
             acc_ref[:, o * cv:(o + 1) * cv] += jnp.dot(
-                aff[group_ids[o]], v_ref[o],
+                aff[group_ids[o]], v_ref[o].astype(jnp.float32),
                 preferred_element_type=jnp.float32)
 
         @pl.when(qi == 0)
@@ -101,17 +104,21 @@ def _make_kernel(n_blocks: int, num_groups: int, group_ids: Tuple[int, ...],
     return kernel
 
 
-# Scoped-VMEM budget for one streamed-readout pallas call. Per chunked
-# object the call holds (double-buffered value block + acc scratch + out
-# block + one [BQ, BN] aff intermediate) ≈ (2·BN·Cv + 3·BQ·Cv + BQ·BN)·4
-# bytes; an unchunked 8-object call at Cv=512 wants ~21MB and hard-fails
-# Mosaic's 16MB scoped-vmem limit on v5e (seen in the r3 bench).
-_VMEM_BUDGET = 8 * 1024 * 1024
+# Scoped-VMEM budget for one streamed-readout pallas call; Mosaic's hard
+# scoped-vmem limit on v5e is 16MB, leave headroom for the compiler's own
+# staging. Per chunked object the call holds a double-buffered value block
+# (storage dtype — bf16 stores halve it) plus f32 acc scratch + out block;
+# the [BQ, BN] aff intermediates and double-buffered sim block are shared
+# across objects. An unchunked 8-object f32 call at Cv=512 wants ~21MB and
+# hard-fails Mosaic (seen in the r3 bench); bf16 stores fit 8 objects in two
+# calls instead of eight.
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _obj_chunk(cv: int) -> int:
-    per_obj = (2 * BN * cv + 3 * BQ * cv + BQ * BN) * 4
-    return max(1, _VMEM_BUDGET // per_obj)
+def _obj_chunk(cv: int, val_itemsize: int = 4) -> int:
+    per_obj = 2 * BN * cv * val_itemsize + 2 * BQ * cv * 4
+    shared = 3 * BQ * BN * 4
+    return max(1, (_VMEM_BUDGET - shared) // per_obj)
 
 
 def _pallas_pass_chunk(sim_p, v_p, valid_p, tau_p, rmax_p, invz_p, qvalid,
@@ -171,14 +178,16 @@ def _pallas_pass(sim, values, valid, tau, rmax, invz, group_ids, interpret):
     pad_q, pad_n = pp - p, nn - n
 
     sim_p = jnp.pad(sim, ((0, pad_q), (0, pad_n)), constant_values=-jnp.inf)
-    v_p = jnp.pad(values, ((0, 0), (0, pad_n), (0, 0))).astype(jnp.float32)
+    # keep values in their storage dtype: padding preserves it, the kernel
+    # upcasts per block in VMEM — no HBM-level f32 copy of the bank
+    v_p = jnp.pad(values, ((0, 0), (0, pad_n), (0, 0)))
     valid_p = jnp.pad(valid, ((0, 0), (0, pad_n))).astype(jnp.float32)
     qvalid = (jnp.arange(pp) < p).astype(jnp.float32)[:, None]
     tau_p = jnp.pad(tau, ((0, pad_q), (0, 0)), constant_values=jnp.inf)
     rmax_p = jnp.pad(rmax, ((0, pad_q), (0, 0)))
     invz_p = jnp.pad(invz, ((0, pad_q), (0, 0)))
 
-    oc = _obj_chunk(cv)
+    oc = _obj_chunk(cv, v_p.dtype.itemsize)
     outs, usage = [], None
     for c0 in range(0, o, oc):
         c1 = min(c0 + oc, o)
