@@ -299,6 +299,7 @@ class InferenceCore:
                 and not (is_mem_frame and is_ignore)
                 and self.memory.work_mem_engaged
                 and self.memory.get_hidden() is not None
+                and not self.memory.sharded
                 and os.environ.get('XMEM2_FAST_STEP', '1') != '0'):
             mm = self.memory
             if is_mem_frame:
@@ -423,6 +424,7 @@ class InferenceCore:
         if (self.all_labels is None
                 or not self.memory.work_mem_engaged
                 or self.memory.get_hidden() is None
+                or self.memory.sharded
                 or os.environ.get('XMEM2_FAST_STEP', '1') == '0'):
             return 0
         nxt = self.curr_ti + 1

@@ -229,6 +229,7 @@ _evict_kernel = jax.jit(ST.evict_by_usage)
 _append_kernel = jax.jit(ST.append)
 _replace_kernel = jax.jit(ST.replace_at)
 _remove_range_kernel = jax.jit(ST.remove_range)
+_update_usage_kernel = jax.jit(ST.update_usage)
 
 
 # ---------------------------------------------------------------------------
@@ -254,11 +255,23 @@ class MemoryManager:
 
         # memory-value storage dtype: 'bfloat16' halves HBM footprint and
         # readout bandwidth (the AMP analog of the reference's fp16 autocast,
-        # run_on_video.py:75); 'float32' (default) keeps bit-parity with the
-        # torch-f32 oracle
+        # run_on_video.py:75); 'float32' keeps bit-parity with the torch-f32
+        # oracle; 'auto' (default) resolves per backend (bf16 on TPU)
+        from xmem2_tpu.config import resolve_dtype_name
         self.value_dtype = jnp.bfloat16 \
-            if str(config.get('value_store_dtype', 'float32')) == 'bfloat16' \
-            else jnp.float32
+            if resolve_dtype_name(config.get('value_store_dtype', 'auto')) \
+            == 'bfloat16' else jnp.float32
+
+        # multi-chip memory-bank sharding (SURVEY §5.7 / §2.9 CP analog):
+        # memory_shards > 1 shards every store's slot axis over a `memory`
+        # mesh axis; match_memory dispatches to the exact sharded readout
+        # (parallel/sharded_readout.py). The reference has no equivalent —
+        # its bank is bounded by one GPU's VRAM.
+        self.memory_shards = int(config.get('memory_shards', 0) or 0)
+        self.memory_mesh = None
+        if self.memory_shards > 1:
+            from xmem2_tpu.parallel.mesh import memory_mesh
+            self.memory_mesh = memory_mesh(self.memory_shards)
 
         # host-DRAM spill of evicted long-term elements (SURVEY §5.7)
         self.spill_long_term = bool(config.get('spill_long_term', False))
@@ -313,6 +326,41 @@ class MemoryManager:
 
     # -- helpers -----------------------------------------------------------
     @property
+    def sharded(self) -> bool:
+        return self.memory_mesh is not None
+
+    def _round_shards(self, cap: int) -> int:
+        """Round a capacity up so the slot axis divides the memory mesh."""
+        if not self.sharded:
+            return cap
+        d = self.memory_shards
+        return -(-cap // d) * d
+
+    def _place_store(self, s: Optional[StoreBuffers]) -> Optional[StoreBuffers]:
+        """Pin a store's buffers sharded over the `memory` axis (slot dim).
+        A no-op for already-correctly-placed buffers, so calling it after
+        every (rare) mutation keeps placement deterministic without copies
+        in the steady state."""
+        if s is None or not self.sharded:
+            return s
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        m = self.memory_mesh
+        sl = NamedSharding(m, P('memory'))          # [N] / [N, Ck]
+        sv = NamedSharding(m, P(None, 'memory'))    # [G, N] / [O, N, Cv]
+        rep = NamedSharding(m, P())
+        return StoreBuffers(
+            key=jax.device_put(s.key, sl),
+            shrinkage=jax.device_put(s.shrinkage, sl),
+            selection=(jax.device_put(s.selection, sl)
+                       if s.selection is not None else None),
+            value=jax.device_put(s.value, NamedSharding(
+                m, P(None, 'memory', None))),
+            val_valid=jax.device_put(s.val_valid, sv),
+            use_count=jax.device_put(s.use_count, sl),
+            life_count=jax.device_put(s.life_count, sl),
+            size=jax.device_put(s.size, rep))
+
+    @property
     def num_groups(self) -> int:
         return len(self.obj_groups)
 
@@ -343,20 +391,20 @@ class MemoryManager:
 
     def _temp_capacity(self) -> int:
         if self.enable_long_term:
-            return self.max_work_elements + self.HW
+            return self._round_shards(self.max_work_elements + self.HW)
         # growable bucket: at least 32 frames
         need = max(self.temp_size + self.HW, 32 * self.HW)
         cap = 32 * self.HW
         while cap < need:
             cap *= 2
-        return cap
+        return self._round_shards(cap)
 
     def _perm_capacity(self) -> int:
         need = max(self.perm_size + self.HW, self.perm_bucket_frames * self.HW)
         cap = self.perm_bucket_frames * self.HW
         while cap < need:
             cap *= 2
-        return cap
+        return self._round_shards(cap)
 
     def _new_store(self, capacity: int) -> StoreBuffers:
         return ST.empty_store(capacity, max(self.num_objects, 1),
@@ -370,7 +418,8 @@ class MemoryManager:
         if self.perm is None:
             self.perm = self._new_store(self._perm_capacity())
         if self.enable_long_term and self.long is None:
-            self.long = self._new_store(self.max_long_elements + self.num_prototypes)
+            self.long = self._new_store(self._round_shards(
+                self.max_long_elements + self.num_prototypes))
 
         # grow for capacity/objects/groups as needed (host-side, rare)
         def fit(s: StoreBuffers, cap: int) -> StoreBuffers:
@@ -379,10 +428,10 @@ class MemoryManager:
                                max(s.num_groups, g))
             return s
 
-        self.temp = fit(self.temp, self._temp_capacity())
-        self.perm = fit(self.perm, self._perm_capacity())
+        self.temp = self._place_store(fit(self.temp, self._temp_capacity()))
+        self.perm = self._place_store(fit(self.perm, self._perm_capacity()))
         if self.long is not None:
-            self.long = fit(self.long, self.long.capacity)
+            self.long = self._place_store(fit(self.long, self.long.capacity))
 
     def _register_objects(self, objects: List[int]):
         """objects: 1-based labels as in the reference (background excluded).
@@ -443,14 +492,46 @@ class MemoryManager:
         qe = selection.reshape(-1, self.CK) if selection is not None else None
 
         cfg = self.match_static_config(disable_usage_updates)
-        out, temp, long = _match_kernel(
-            self.temp, self.perm, self.long if cfg['use_long'] else None,
-            qk, qe, **cfg)
-        if cfg['count_usage']:
-            self.temp = temp
-        if cfg['count_long_usage']:
-            self.long = long
+        if self.sharded:
+            out = self._match_sharded(qk, qe, cfg)
+        else:
+            out, temp, long = _match_kernel(
+                self.temp, self.perm, self.long if cfg['use_long'] else None,
+                qk, qe, **cfg)
+            if cfg['count_usage']:
+                self.temp = temp
+            if cfg['count_long_usage']:
+                self.long = long
         return out.reshape(self.num_objects, h, w, self.CV)[None]
+
+    def _match_sharded(self, qk, qe, cfg):
+        """Match over stores whose slot axes live sharded across the memory
+        mesh: local top-k candidates -> one ICI all_gather -> identical
+        global softmax stats everywhere -> local partial readouts -> psum
+        (parallel/sharded_readout.sharded_topk_readout_multi; exact vs the
+        single-chip path up to psum addition order). Full-capacity segments —
+        validity masks already exclude dead slots, and the per-chip cost is
+        capacity/D, so occupancy bucketing buys nothing here."""
+        from xmem2_tpu.parallel.sharded_readout import (
+            sharded_topk_readout_multi,
+        )
+        use_long = cfg['use_long']
+        seg_stores = ([self.long] if use_long else []) + [self.temp] \
+            + ([self.perm] if cfg['use_perm'] else [])
+        ti = 1 if use_long else 0
+        segments = [(s.key, s.shrinkage, s.value,
+                     s.val_valid & s.slot_valid()[None, :])
+                    for s in seg_stores]
+        out, usages = sharded_topk_readout_multi(
+            self.memory_mesh, segments, qk, qe, cfg['group_ids'],
+            cfg['top_k'])
+        if use_long and cfg['count_long_usage']:
+            self.long = self._place_store(
+                _update_usage_kernel(self.long, usages[0]))
+        if cfg['count_usage']:
+            self.temp = self._place_store(
+                _update_usage_kernel(self.temp, usages[ti]))
+        return out
 
     def add_memory(self, key, shrinkage, value, objects: List[int],
                    selection=None, permanent: bool = False,
@@ -474,12 +555,14 @@ class MemoryManager:
 
         if permanent:
             pos = self.perm_size // self.HW
-            self.perm = _append_kernel(self.perm, k, s, e, v, presence)
+            self.perm = self._place_store(
+                _append_kernel(self.perm, k, s, e, v, presence))
             self.perm_size += self.HW
             if ti is not None:
                 self.frame_id_to_permanent_mem_idx[ti] = pos
         else:
-            self.temp = _append_kernel(self.temp, k, s, e, v, presence)
+            self.temp = self._place_store(
+                _append_kernel(self.temp, k, s, e, v, presence))
             self.note_temp_append()
 
     def note_temp_append(self):
@@ -493,7 +576,8 @@ class MemoryManager:
                 max_keep = self.max_long_elements - self.num_prototypes
                 if self.spill_long_term:
                     self._spill_evicted(max_keep)
-                self.long = _evict_kernel(self.long, jnp.int32(max_keep))
+                self.long = self._place_store(
+                    _evict_kernel(self.long, jnp.int32(max_keep)))
                 self.long_size = int(self.long.size)
             self.compress_features()
 
@@ -538,9 +622,9 @@ class MemoryManager:
         if rows is None:
             return 0
         key, shrinkage, value, val_valid = rows
-        self.long = _append_kernel(
+        self.long = self._place_store(_append_kernel(
             self.long, jnp.asarray(key), jnp.asarray(shrinkage), None,
-            jnp.asarray(value), jnp.asarray(val_valid))
+            jnp.asarray(value), jnp.asarray(val_valid)))
         self.long_size += key.shape[0]
         return int(key.shape[0])
 
@@ -552,6 +636,8 @@ class MemoryManager:
             min_work_elements=self.min_work_elements,
             group_ids=self.group_ids,
             use_selection=True)
+        self.temp = self._place_store(self.temp)
+        self.long = self._place_store(self.long)
         self.long_size = int(self.long.size)   # rare host sync (every ~50 frames)
         self.temp_size = self.min_work_elements
 
@@ -562,14 +648,14 @@ class MemoryManager:
         s = shrinkage.reshape(-1)
         v = value[0].reshape(self.num_objects, -1, self.CV)
         e = selection.reshape(-1, self.CK) if selection is not None else None
-        self.perm = _replace_kernel(self.perm, jnp.int32(saved_pos * self.HW),
-                                    k, s, e, v)
+        self.perm = self._place_store(_replace_kernel(
+            self.perm, jnp.int32(saved_pos * self.HW), k, s, e, v))
 
     def remove_from_permanent_memory(self, frame_idx: int):
         saved_pos = self.frame_id_to_permanent_mem_idx[frame_idx]
         start = saved_pos * self.HW
-        self.perm = _remove_range_kernel(self.perm, jnp.int32(start),
-                                         jnp.int32(start + self.HW))
+        self.perm = self._place_store(_remove_range_kernel(
+            self.perm, jnp.int32(start), jnp.int32(start + self.HW)))
         self.perm_size -= self.HW
         del self.frame_id_to_permanent_mem_idx[frame_idx]
         # surviving frames shift down one slot

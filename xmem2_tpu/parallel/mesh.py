@@ -27,6 +27,18 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.array(devices).reshape(shape), axis_names)
 
 
+def memory_mesh(n_shards: int) -> Mesh:
+    """1-D mesh over the first n_shards local devices, axis 'memory' — the
+    memory-bank sharding axis (MemoryManager memory_shards mode). Distinct
+    axis name from training's 'data' so the two can coexist in one program."""
+    devices = jax.devices()
+    if len(devices) < n_shards:
+        raise ValueError(
+            f'memory_shards={n_shards} but only {len(devices)} devices '
+            f'are visible')
+    return Mesh(np.asarray(devices[:n_shards]), ('memory',))
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-dim sharding over the 'data' axis."""
     return NamedSharding(mesh, P('data'))

@@ -108,6 +108,114 @@ def sharded_topk_readout(
     return fn(mk, ms, qk, qe, values, valid)
 
 
+def _local_readout_multi(qk, qe, *segments_flat, group_ids, top_k, axis,
+                         n_seg, has_ms, has_qe):
+    """Per-shard body over MULTIPLE memory segments sharing one global top-k
+    (the sharded analog of ops/readout_kernel.fused_topk_readout_multi, i.e.
+    of MemoryManager._match_kernel's [long | temp | perm] layout)."""
+    segs = [segments_flat[i * 4:(i + 1) * 4] for i in range(n_seg)]
+    g = segs[0][3].shape[0]
+    if not has_qe:
+        qe = None
+
+    sims, valids = [], []
+    for mk, ms, values, valid in segs:
+        sims.append(get_similarity(mk, ms if has_ms else None, qk, qe))
+        valids.append(valid)
+
+    # local candidates per group, across every segment
+    cands = []
+    for gi in range(g):
+        per_seg = []
+        for sim, valid in zip(sims, valids):
+            simg = jnp.where(valid[gi][None, :], sim, NEG_INF)
+            per_seg.append(top_k_values(simg, min(top_k, simg.shape[-1])))
+        merged = per_seg[0] if len(per_seg) == 1 else \
+            jnp.concatenate(per_seg, axis=-1)
+        k_loc = min(top_k, merged.shape[-1])
+        cands.append(jax.lax.top_k(merged, k_loc)[0])
+    local = jnp.stack(cands)                              # [G, P, k_loc]
+
+    # union of every shard's candidates -> exact global stats on all chips
+    all_c = jax.lax.all_gather(local, axis, axis=2, tiled=True)  # [G,P,D*k]
+    k = min(top_k, all_c.shape[-1])
+    vals = jax.lax.top_k(all_c, k)[0]                     # [G, P, k] desc
+    rmax = vals[..., 0]                                   # [G, P]
+    z = jnp.sum(jnp.exp(vals - rmax[..., None]), axis=-1)
+    tau = vals[..., -1]
+
+    # local affinity under the global stats; per-segment partial readout
+    total = None
+    usages = []
+    for sim, (mk, ms, values, valid) in zip(sims, segs):
+        out = []
+        for o, gi in enumerate(group_ids):
+            w = jnp.where((sim >= tau[gi][:, None]) & valid[gi][None, :],
+                          jnp.exp(sim - rmax[gi][:, None]), 0.0) \
+                / z[gi][:, None]
+            out.append(jnp.matmul(w, values[o].astype(jnp.float32),
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST))
+        partial_read = jnp.stack(out)                     # [O, P, Cv]
+        total = partial_read if total is None else total + partial_read
+        usage0 = jnp.where((sim >= tau[0][:, None]) & valid[0][None, :],
+                           jnp.exp(sim - rmax[0][:, None]), 0.0) \
+            / z[0][:, None]
+        usages.append(jnp.sum(usage0, axis=0))            # [N_s/D] local
+
+    return (jax.lax.psum(total, axis), *usages)
+
+
+def sharded_topk_readout_multi(
+    mesh: Mesh,
+    segments,                  # [(mk [N,Ck], ms [N]|None, values [O,N,Cv],
+                               #   valid [G,N] bool)] — N sharded over axis
+    qk: jnp.ndarray,           # [P, Ck]   replicated
+    qe: Optional[jnp.ndarray],  # [P, Ck] or None
+    group_ids: Tuple[int, ...],
+    top_k: int,
+    axis: str = 'memory',
+):
+    """Exact multi-segment top-k readout over memory banks sharded across
+    `axis` — the distributed twin of fused_topk_readout_multi: one global
+    top-k across all segments AND all shards, per-segment usage.
+
+    Every segment's slot count must divide the axis size. ms/qe presence must
+    be uniform across segments (as in MemoryManager, where the selection
+    factor is global). Returns (readout [O, P, Cv] replicated,
+    [usage [N_s] sharded, per segment]).
+    """
+    try:
+        from jax import shard_map
+        check_kw = {'check_vma': False}
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+        check_kw = {'check_rep': False}
+
+    has_ms = segments[0][1] is not None
+    has_qe = qe is not None
+    spec_n = P(axis)
+    flat, in_specs = [], [P(), P() if has_qe else P()]
+    for mk, ms, values, valid in segments:
+        # ms slots are filled with a dummy when absent so the flat arity is
+        # static; has_ms tells the body to ignore them
+        flat += [mk, ms if has_ms else jnp.zeros((mk.shape[0],), mk.dtype),
+                 values, valid]
+        in_specs += [spec_n, spec_n, P(None, axis, None), P(None, axis)]
+
+    fn = shard_map(
+        partial(_local_readout_multi,
+                group_ids=tuple(int(i) for i in group_ids), top_k=top_k,
+                axis=axis, n_seg=len(segments), has_ms=has_ms, has_qe=has_qe),
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(),) + (spec_n,) * len(segments),
+        **check_kw,
+    )
+    out = fn(qk, qe if has_qe else jnp.zeros_like(qk), *flat)
+    return out[0], list(out[1:])
+
+
 def shard_memory_bank(mesh: Mesh, mk, ms, values, valid, axis: str = 'memory'):
     """Place a memory bank with N sharded over `axis` (helper for callers
     building a distributed bank; N must divide the axis size)."""
