@@ -122,6 +122,10 @@ def main():
 
     # dataset selection (reference eval.py:77-129)
     if is_youtube:
+        if args.split == 'val':
+            # YouTubeVOS names its validation split 'valid'
+            # (reference eval.py:92-94)
+            args.split = 'valid'
         if args.dataset == 'Y18':
             meta_dataset = YouTubeVOSTestDataset(args.y18_path, args.split,
                                                  size=args.size)
@@ -313,11 +317,17 @@ def main():
         # never print a silent 0 — CPU/interpret backends expose no stats
         print('Max allocated memory (MB): n/a (backend reports no memory stats)')
 
-    if is_youtube:  # zip for submission (reference eval.py:251-257)
+    # zip packaging for benchmark submission (reference eval.py:250-257)
+    if not args.save_scores:
         import shutil
-        print('Making zip for YouTubeVOS...')
-        shutil.make_archive(path.join(args.output, path.basename(args.output)),
-                            'zip', args.output, 'Annotations')
+        if is_youtube:
+            print('Making zip for YouTubeVOS...')
+            shutil.make_archive(
+                path.join(args.output, path.basename(args.output)),
+                'zip', args.output, 'Annotations')
+        elif is_davis and args.split == 'test':
+            print('Making zip for DAVIS test-dev...')
+            shutil.make_archive(args.output, 'zip', args.output)
 
 
 if __name__ == '__main__':

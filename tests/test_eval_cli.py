@@ -102,6 +102,65 @@ def test_eval_chunked_matches(mini_generic, tmp_path):
         assert float(np.mean(a == b)) >= 0.999, pa.name
 
 
+@pytest.fixture(scope='module')
+def mini_youtube(tmp_path_factory, mini_generic):
+    """Tiny synthetic YouTubeVOS-2018 layout: 2 videos x 5 chair frames,
+    YT frame naming (00000.jpg...), meta.json with per-object required
+    frames (reference inference/data/test_datasets.py YouTubeVOSTestDataset
+    contract)."""
+    _, ckpt = mini_generic
+    root = tmp_path_factory.mktemp('y18')
+    meta = {'videos': {}}
+    for vid in ('vid0', 'vid1'):
+        img_dir = root / 'all_frames' / 'valid_all_frames' / 'JPEGImages' / vid
+        ann_dir = root / 'valid' / 'Annotations' / vid
+        img_dir.mkdir(parents=True)
+        ann_dir.mkdir(parents=True)
+        for i in range(5):
+            src = Path(CHAIR) / 'JPEGImages' / f'frame_{i:06d}.jpg'
+            (img_dir / f'{i:05d}.jpg').write_bytes(src.read_bytes())
+        src = Path(CHAIR) / 'Annotations' / 'frame_000000.png'
+        (ann_dir / '00000.png').write_bytes(src.read_bytes())
+        meta['videos'][vid] = {
+            'objects': {'1': {'frames': ['00000', '00002', '00004']}}}
+    (root / 'valid' / 'meta.json').write_text(json.dumps(meta))
+    return root, ckpt
+
+
+@pytest.mark.slow
+def test_eval_youtube_branch(mini_youtube, tmp_path):
+    """Y18 end-to-end: split remap (val->valid), required-frames filtering
+    via meta.json, palette saves under Annotations/, zip packaging
+    (reference eval.py:92-94, 251-257)."""
+    root, ckpt = mini_youtube
+    out = tmp_path / 'y18_out'
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    r = subprocess.run(
+        [sys.executable, 'eval.py', '--dataset', 'Y18',
+         '--y18_path', str(root), '--model', str(ckpt),
+         '--output', str(out), '--size', '144',
+         '--compute_dtype', 'float32'],
+        capture_output=True, text=True, timeout=500,
+        cwd=str(Path(__file__).parent.parent), env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert 'Making zip for YouTubeVOS' in r.stdout
+
+    for vid in ('vid0', 'vid1'):
+        masks = sorted((out / 'Annotations' / vid).glob('*.png'))
+        # only the meta.json-required frames are saved (no --save_all)
+        assert [m.stem for m in masks] == ['00000', '00002', '00004'], masks
+        m = Image.open(masks[0])
+        assert m.mode == 'P'
+
+    import zipfile
+    zpath = out / f'{out.name}.zip'
+    assert zpath.exists()
+    with zipfile.ZipFile(zpath) as z:
+        names = z.namelist()
+    assert any(n.startswith('Annotations/vid0') and n.endswith('.png')
+               for n in names), names
+
+
 @pytest.mark.slow
 def test_eval_memory_shards_matches(mini_generic, tmp_path):
     """--memory_shards 8: the CLI-reachable multi-chip memory-bank path (the
