@@ -367,7 +367,8 @@ def stage_breakdown(net, cfg, samples, msk0, labels, iters=40):
 
     f16 = net.encode_key(jnp.zeros((1, 480, 864, 3)))[3]
     hidden = mm.get_hidden()
-    mask1 = jnp.zeros((1, 1, 480, 864))
+    n_obj = hidden.shape[1]   # value encoder runs per object group member
+    mask1 = jnp.zeros((1, n_obj, 480, 864))
     try:
         timed('value_encode_per_memframe',
               lambda: float(value_loop(jnp.zeros((1, 480, 864, 3)), f16,
@@ -518,17 +519,31 @@ def main():
         dt = time.perf_counter() - t0
         e2e_fps = max(e2e_fps, len(samples) / dt)
 
+    def best_device_fps(bnet, bcfg, bsamples, bmsk0, blabels, passes=2):
+        """Best of the per-frame and chunked device pipelines (chunked
+        stepping is the production default), gated on checksum agreement —
+        the same rule as the chair headline metric."""
+        run_video_device(bnet, bcfg, bsamples, bmsk0, blabels)  # warm
+        run_video_device(bnet, bcfg, bsamples, bmsk0, blabels)
+        fps, ck = 0.0, None
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            ck = run_video_device(bnet, bcfg, bsamples, bmsk0, blabels)
+            fps = max(fps, len(bsamples) / (time.perf_counter() - t0))
+        run_video_device_chunked(bnet, bcfg, bsamples, bmsk0, blabels)  # warm
+        cfps, cck = 0.0, None
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            cck = run_video_device_chunked(bnet, bcfg, bsamples, bmsk0,
+                                           blabels)
+            cfps = max(cfps, len(bsamples) / (time.perf_counter() - t0))
+        drift = abs((cck or 0) - (ck or 0)) / max(abs(ck or 0), 1)
+        return max(fps, cfps) if drift <= 1e-3 else fps
+
     # multi-object (2 caps, 87 frames): distinct group structure — the
     # reference headline is multi-object interactive segmentation
     mcfg, mnet, msamples, mmsk0, mlabels = build(video=CAPS)
-    run_video_device(mnet, mcfg, msamples, mmsk0, mlabels)  # warm (compiles)
-    run_video_device(mnet, mcfg, msamples, mmsk0, mlabels)
-    multi_fps = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        run_video_device(mnet, mcfg, msamples, mmsk0, mlabels)
-        dt = time.perf_counter() - t0
-        multi_fps = max(multi_fps, len(msamples) / dt)
+    multi_fps = best_device_fps(mnet, mcfg, msamples, mmsk0, mlabels)
 
     # N-object scaling (VERDICT r2 #7): 4 and 8 synthetic objects on the
     # chair frames — PUMaVOS-realistic object counts; measures multi-group
@@ -537,15 +552,8 @@ def main():
     for n_obj in (4, 8):
         nm = synth_multiobj_mask(msk0, n_obj)
         nlabels = list(range(1, n_obj + 1))
-        run_video_device(net, cfg, samples, nm, nlabels)   # warm (compiles)
-        run_video_device(net, cfg, samples, nm, nlabels)
-        nfps = 0.0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            run_video_device(net, cfg, samples, nm, nlabels)
-            dt = time.perf_counter() - t0
-            nfps = max(nfps, len(samples) / dt)
-        nobj_metrics.append((n_obj, nfps))
+        nobj_metrics.append(
+            (n_obj, best_device_fps(net, cfg, samples, nm, nlabels)))
 
     # whole-dataset throughput: every chair + caps frame back-to-back
     t0 = time.perf_counter()

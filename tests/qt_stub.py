@@ -85,6 +85,8 @@ class Qt:
     Key_Right = 0x01000014
     LeftButton = 0x1
     RightButton = 0x2
+    KeepAspectRatio = 1
+    FastTransformation = 0
 
 
 class QRunnable:
@@ -115,6 +117,12 @@ class QTimer(QObject):
 
     def stop(self):
         self.active = False
+
+    def isActive(self):
+        return self.active
+
+    def setSingleShot(self, b):
+        self.single_shot = bool(b)
 
     def fire(self):
         self.timeout.emit()
@@ -149,6 +157,9 @@ class QPixmap:
 
     def height(self):
         return self.h
+
+    def scaled(self, size, *a, **k):
+        return self
 
 
 # ------------------------------------------------------------------ widgets
@@ -204,6 +215,9 @@ class QWidget(QObject):
     def setMouseTracking(self, b):
         pass
 
+    def setToolTip(self, t):
+        self._tooltip = t
+
     def setWindowTitle(self, t):
         self.window_title = t
 
@@ -215,6 +229,18 @@ class QWidget(QObject):
 
     def setMaximumHeight(self, h):
         pass
+
+    def setMinimumSize(self, w, h):
+        self._min_size = (w, h)
+
+    def size(self):
+        class _Size:
+            def width(self):
+                return 100
+
+            def height(self):
+                return 100
+        return _Size()
 
     def setMinimumWidth(self, w):
         pass
@@ -323,6 +349,12 @@ class QPushButton(QWidget):
     def click(self):
         self.clicked.emit()
 
+    def setText(self, t):
+        self._text = t
+
+    def text(self):
+        return self._text
+
 
 class QRadioButton(QWidget):
     def __init__(self, text='', parent=None):
@@ -335,6 +367,27 @@ class QRadioButton(QWidget):
 
     def isChecked(self):
         return self._checked
+
+
+class QCheckBox(QWidget):
+    toggled = pyqtSignal(bool)
+
+    def __init__(self, text='', parent=None):
+        super().__init__(parent)
+        self._text = text
+        self._checked = False
+
+    def setChecked(self, b):
+        changed = bool(b) != self._checked
+        self._checked = bool(b)
+        if changed:
+            self.toggled.emit(self._checked)
+
+    def isChecked(self):
+        return self._checked
+
+    def setText(self, t):
+        self._text = t
 
 
 class QButtonGroup(QObject):
@@ -460,11 +513,11 @@ def install():
         setattr(core, name, g[name])
     for name in ('QImage', 'QPixmap', 'QKeySequence'):
         setattr(gui, name, g[name])
-    for name in ('QApplication', 'QButtonGroup', 'QComboBox', 'QFileDialog',
-                 'QHBoxLayout', 'QLabel', 'QMainWindow', 'QPlainTextEdit',
-                 'QPushButton', 'QRadioButton', 'QShortcut', 'QSlider',
-                 'QSpinBox', 'QTabWidget', 'QVBoxLayout', 'QWidget',
-                 'QScrollArea', 'QProgressBar'):
+    for name in ('QApplication', 'QButtonGroup', 'QCheckBox', 'QComboBox',
+                 'QFileDialog', 'QHBoxLayout', 'QLabel', 'QMainWindow',
+                 'QPlainTextEdit', 'QPushButton', 'QRadioButton', 'QShortcut',
+                 'QSlider', 'QSpinBox', 'QTabWidget', 'QVBoxLayout',
+                 'QWidget', 'QScrollArea', 'QProgressBar'):
         setattr(widgets, name, g[name])
 
     pkg.QtCore, pkg.QtGui, pkg.QtWidgets = core, gui, widgets

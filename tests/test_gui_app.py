@@ -196,6 +196,64 @@ class TestAppWiring:
         qt_stub.QFileDialog.next_file = ''
         app.btn_import_mask.click()          # must not raise
 
+    def test_play_video_timer_advances_and_wraps(self, gui):
+        """Play/pause: reference gui.py:78-80, 387-397, 896-908 — the timer
+        steps the cursor each tick and wraps at the last frame."""
+        app, rm = gui
+        assert not app.play_timer.isActive()
+        app.btn_play.click()
+        assert app.play_timer.isActive()
+        assert app.btn_play.text() == 'Stop Video'
+        for _ in range(app.num_frames - 1):
+            app.play_timer.fire()
+        assert app.cursur == app.num_frames - 1
+        app.play_timer.fire()                   # wraps to frame 0
+        assert app.cursur == 0
+        app.btn_play.click()                    # pause
+        assert not app.play_timer.isActive()
+        assert app.btn_play.text() == 'Play Video'
+
+    def test_save_visualization_toggle(self, gui):
+        """Save-viz toggle: reference gui.py:151-154, 542-543 — unchecked
+        means show_current_frame stops writing overlay files."""
+        app, rm = gui
+        assert app.save_visualization
+        app.save_viz_checkbox.setChecked(False)
+        assert not app.save_visualization
+        seen = {}
+        orig = rm.save_visualization
+        rm.save_visualization = (
+            lambda ti, viz: seen.setdefault('hit', True) or orig(ti, viz))
+        try:
+            app.show_current_frame()
+            assert 'hit' not in seen
+            app.save_viz_checkbox.setChecked(True)
+            app.show_current_frame()
+            assert seen.get('hit')
+        finally:
+            rm.save_visualization = orig
+
+    def test_brush_size_slider_reaches_controller(self, gui):
+        """Brush-size slider: reference gui.py:133-137, 676-689."""
+        app, rm = gui
+        app.brush_slider.slider.setValue(17)
+        assert app.ctl.brush_size == 17
+
+    def test_minimap_zoom_buttons_and_mouse_tracking(self, gui):
+        """Minimap + zoom: reference gui.py:193-196, 318-322, 509-536,
+        919-926 — mouse movement drives the crop center; the zoom buttons
+        shrink/grow the crop window within [50, 300]."""
+        app, rm = gui
+        z0 = app.zoom_pixels
+        app.btn_zoom_plus.click()
+        assert app.zoom_pixels == max(50, z0 - 25)
+        app.btn_zoom_minus.click()
+        app.btn_zoom_minus.click()
+        assert app.zoom_pixels == min(300, z0 + 25)
+        app.canvas.mouseMoveEvent(qt_stub._Event(30, 20))
+        assert (app.last_ex, app.last_ey) == (30, 20)
+        assert app.minimap.pixmap() is not None
+
     def test_references_replayed_on_restart(self, gui, small_net):
         app, rm = gui
         from xmem2_tpu.inference.core import InferenceCore

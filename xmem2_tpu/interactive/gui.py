@@ -16,9 +16,10 @@ import numpy as np
 from PyQt5.QtCore import Qt, QTimer, QThreadPool
 from PyQt5.QtGui import QImage, QPixmap, QKeySequence
 from PyQt5.QtWidgets import (
-    QApplication, QButtonGroup, QComboBox, QFileDialog, QHBoxLayout, QLabel,
-    QMainWindow, QPlainTextEdit, QPushButton, QRadioButton, QShortcut,
-    QSlider, QSpinBox, QTabWidget, QVBoxLayout, QWidget)
+    QApplication, QButtonGroup, QCheckBox, QComboBox, QFileDialog,
+    QHBoxLayout, QLabel, QMainWindow, QPlainTextEdit, QPushButton,
+    QRadioButton, QShortcut, QSlider, QSpinBox, QTabWidget, QVBoxLayout,
+    QWidget)
 
 from xmem2_tpu.interactive.gui_utils import (
     ImageLinkCollection, NamedSlider, Worker)
@@ -72,6 +73,27 @@ class App(QMainWindow):
         self.tl_slider.setMaximum(self.ctl.num_frames - 1)
         self.tl_slider.valueChanged.connect(self.on_slider)
 
+        # play/pause video timer (reference gui.py:78-80, 387-389, 896-908)
+        self.play_fps = int(self.ctl.config.get('play_fps', 30))
+        self.play_timer = QTimer(self)
+        self.play_timer.setSingleShot(False)
+        self.play_timer.timeout.connect(self.on_play_video_timer)
+        self.btn_play = QPushButton('Play Video')
+        self.btn_play.setToolTip('Play/Pause the video')
+        self.btn_play.clicked.connect(self.on_play_video)
+
+        # save-visualization toggle (reference gui.py:151-154, 542-543)
+        self.save_viz_checkbox = QCheckBox('Save overlay')
+        self.save_viz_checkbox.setChecked(True)
+        self.save_viz_checkbox.toggled.connect(
+            self.on_save_visualization_toggle)
+        self.save_visualization = True
+
+        # brush size slider (reference gui.py:133-137, 676-689)
+        self.brush_slider = NamedSlider('Brush size', 1, 100, 1,
+                                        self.ctl.brush_size)
+        self.brush_slider.valueChanged.connect(self.on_brush_size)
+
         # interaction mode
         self.mode_group = QButtonGroup()
         mode_row = QHBoxLayout()
@@ -110,8 +132,9 @@ class App(QMainWindow):
         self.btn_stop.clicked.connect(self.ctl.stop)
         self.btn_clear_mem.clicked.connect(self.on_clear_memory)
         for b in (self.btn_prop_bwd, self.btn_prop_full, self.btn_prop_fwd,
-                  self.btn_stop, self.btn_clear_mem):
+                  self.btn_stop, self.btn_clear_mem, self.btn_play):
             prop_row.addWidget(b)
+        prop_row.addWidget(self.save_viz_checkbox)
 
         # reference / candidate actions
         ref_row = QHBoxLayout()
@@ -150,6 +173,16 @@ class App(QMainWindow):
             s.valueChanged.connect(self.update_config)
             mem_col.addWidget(s)
 
+        # minimap + zoom (reference gui.py:193-196, 318-322, 524-536)
+        self.minimap = QLabel()
+        self.minimap.setMinimumSize(100, 100)
+        self.zoom_pixels = 150
+        self.last_ex = self.last_ey = 0.0
+        self.btn_zoom_plus = QPushButton('Zoom +')
+        self.btn_zoom_minus = QPushButton('Zoom -')
+        self.btn_zoom_plus.clicked.connect(self.on_zoom_plus)
+        self.btn_zoom_minus.clicked.connect(self.on_zoom_minus)
+
         # gauges (reference gui.py:1073-1088)
         self.mem_gauge = QLabel('memory: -')
         self.gpu_gauge = QLabel('device: -')
@@ -177,8 +210,16 @@ class App(QMainWindow):
         left.addLayout(ref_row)
         left.addWidget(self.console)
 
+        zoom_row = QHBoxLayout()
+        zoom_row.addWidget(self.btn_zoom_plus)
+        zoom_row.addWidget(self.btn_zoom_minus)
+
         right = QVBoxLayout()
+        right.addWidget(self.brush_slider)
         right.addLayout(mem_col)
+        right.addWidget(QLabel('Minimap'))
+        right.addLayout(zoom_row)
+        right.addWidget(self.minimap)
         right.addWidget(self.mem_gauge)
         right.addWidget(self.gpu_gauge)
         right.addWidget(tabs)
@@ -211,7 +252,9 @@ class App(QMainWindow):
         return _np_to_pixmap(np.ascontiguousarray(small))
 
     def show_current_frame(self):
-        self.canvas.setPixmap(_np_to_pixmap(self.ctl.visualization()))
+        self._last_viz = self.ctl.visualization(save=self.save_visualization)
+        self.canvas.setPixmap(_np_to_pixmap(self._last_viz))
+        self.update_minimap()
 
     def jump_to_frame(self, fi):
         self.tl_slider.setValue(fi)
@@ -220,6 +263,53 @@ class App(QMainWindow):
     def on_slider(self, value):
         self.ctl.set_cursor(value)
         self.show_current_frame()
+
+    # play/pause (reference gui.py:896-908: wraps at the last frame,
+    # 1000/30 ms default period)
+    def on_play_video_timer(self):
+        nxt = self.ctl.cursur + 1
+        if nxt > self.ctl.num_frames - 1:
+            nxt = 0
+        self.tl_slider.setValue(nxt)
+
+    def on_play_video(self):
+        if self.play_timer.isActive():
+            self.play_timer.stop()
+            self.btn_play.setText('Play Video')
+        else:
+            self.play_timer.start(int(1000 / max(self.play_fps, 1)))
+            self.btn_play.setText('Stop Video')
+
+    def on_save_visualization_toggle(self, checked):
+        self.save_visualization = bool(checked)
+
+    def on_brush_size(self):
+        self.ctl.set_brush_size(int(self.brush_slider.value()))
+
+    # minimap + zoom (reference gui.py:524-536, 919-926): a zoom_pixels-wide
+    # crop of the current visualization around the last cursor position
+    def update_minimap(self):
+        viz = getattr(self, '_last_viz', None)
+        if viz is None:
+            return
+        r = self.zoom_pixels // 2
+        h, w = viz.shape[:2]
+        ex = int(round(max(r, min(w - r, self.last_ex))))
+        ey = int(round(max(r, min(h - r, self.last_ey))))
+        patch = np.ascontiguousarray(viz[ey - r:ey + r, ex - r:ex + r])
+        if patch.size == 0:
+            return
+        pix = _np_to_pixmap(patch)
+        self.minimap.setPixmap(pix.scaled(
+            self.minimap.size(), Qt.KeepAspectRatio, Qt.FastTransformation))
+
+    def on_zoom_plus(self):
+        self.zoom_pixels = max(50, self.zoom_pixels - 25)
+        self.update_minimap()
+
+    def on_zoom_minus(self):
+        self.zoom_pixels = min(300, self.zoom_pixels + 25)
+        self.update_minimap()
 
     def on_viz_mode(self, mode):
         self.ctl.viz_mode = mode
@@ -241,6 +331,7 @@ class App(QMainWindow):
         coords = self._canvas_coords(event)
         if coords is None:
             return
+        self.last_ex, self.last_ey = coords
         is_neg = event.button() == Qt.RightButton
         committed = self.ctl.push_point(coords[0], coords[1], is_neg,
                                         self._mode())
@@ -248,12 +339,15 @@ class App(QMainWindow):
             self.show_current_frame()
 
     def on_mouse_move(self, event):
+        coords = self._canvas_coords(event)
+        if coords is None:
+            return
+        # all-time tracking drives the minimap crop (reference gui.py:509-536)
+        self.last_ex, self.last_ey = coords
+        self.update_minimap()
         if self.ctl.interaction is None or self._mode() == 'click':
             return
         if not (event.buttons() & (Qt.LeftButton | Qt.RightButton)):
-            return
-        coords = self._canvas_coords(event)
-        if coords is None:
             return
         is_neg = bool(event.buttons() & Qt.RightButton)
         self.ctl.push_point(coords[0], coords[1], is_neg, self._mode())

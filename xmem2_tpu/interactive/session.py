@@ -99,6 +99,12 @@ class SessionController:
         self.interaction.push_point(x, y, 0 if is_neg else self.current_object)
         return None
 
+    def set_brush_size(self, size: int):
+        """Live brush-size update (reference gui.py:682-689 brush_slide)."""
+        self.brush_size = int(size)
+        if isinstance(self.interaction, FreeInteraction):
+            self.interaction.set_size(self.brush_size)
+
     def end_path(self):
         if self.interaction is None:
             return None

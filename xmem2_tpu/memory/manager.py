@@ -120,7 +120,13 @@ def _match_kernel(temp: StoreBuffers, perm: StoreBuffers,
                 temp_full, _pad_usage(usages[ti], temp_full.capacity))
         return out, temp, long
 
-    sims = [get_similarity(s.key, s.shrinkage, qk, qe) for s in seg_stores]
+    # bf16 value stores signal AMP mode (reference autocast analog): the
+    # similarity and readout matmuls run with bf16 operands / f32 accum —
+    # the same semantics as the fused kernel so the two paths stay
+    # equivalent within either mode
+    amp = seg_stores[0].value.dtype == jnp.bfloat16
+    sims = [get_similarity(s.key, s.shrinkage, qk, qe, amp=amp)
+            for s in seg_stores]
     caps = [s.capacity for s in seg_stores]
 
     sim = jnp.concatenate(sims, axis=-1)              # [HW, N]
@@ -135,9 +141,15 @@ def _match_kernel(temp: StoreBuffers, perm: StoreBuffers,
     out = None
     for s, cap in zip(seg_stores, caps):
         seg_aff = jax.lax.slice_in_dim(aff_obj, off, off + cap, axis=-1)
-        contrib = jnp.einsum('opn,onc->opc', seg_aff, s.value.astype(jnp.float32),
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+        if amp:
+            contrib = jnp.einsum('opn,onc->opc',
+                                 seg_aff.astype(jnp.bfloat16), s.value,
+                                 preferred_element_type=jnp.float32)
+        else:
+            contrib = jnp.einsum('opn,onc->opc', seg_aff,
+                                 s.value.astype(jnp.float32),
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
         out = contrib if out is None else out + contrib
         off += cap
 

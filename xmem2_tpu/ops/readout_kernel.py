@@ -83,13 +83,19 @@ def _make_kernel(n_blocks: int, num_groups: int, group_ids: Tuple[int, ...],
             z = invz[:, g][:, None]
             w = jnp.where(sim >= t, jnp.exp(sim - m), 0.0)
             aff[g] = w * gv[g][None, :] * z * qvalid
+        vdt = v_ref.dtype
         for o in range(num_objects):
             # values stream in their storage dtype (bf16 halves the HBM
-            # traffic of the dominant operand); the upcast happens per block
-            # in VMEM, so numerics match the jnp path's astype(f32) einsum
+            # traffic of the dominant operand). bf16 stores (the AMP analog,
+            # reference autocast readout memory_util.py:73-80): the affinity
+            # rounds to bf16 and the dot runs native bf16 x bf16 -> f32 on
+            # the MXU — same operand precision class as the reference's fp16
+            # autocast einsum, 1 MXU pass instead of the f32 slow path. f32
+            # stores keep the exact f32 dot (matches the jnp path bit-class).
+            a = aff[group_ids[o]].astype(vdt) if vdt == jnp.bfloat16 \
+                else aff[group_ids[o]]
             acc_ref[:, o * cv:(o + 1) * cv] += jnp.dot(
-                aff[group_ids[o]], v_ref[o].astype(jnp.float32),
-                preferred_element_type=jnp.float32)
+                a, v_ref[o], preferred_element_type=jnp.float32)
 
         @pl.when(qi == 0)
         def _():
@@ -387,7 +393,11 @@ def fused_topk_readout_multi(
     concatenated value buffer never reach HBM."""
     from xmem2_tpu.ops.similarity import get_similarity
 
-    sims = [get_similarity(mk, ms, qk, qe) for mk, ms, _, _ in segments]
+    # bf16 value stores signal AMP mode (the reference's autocast analog):
+    # the similarity matmuls also run with bf16 operands / f32 accumulation
+    amp = segments[0][2].dtype == jnp.bfloat16
+    sims = [get_similarity(mk, ms, qk, qe, amp=amp)
+            for mk, ms, _, _ in segments]
     valids = [seg[3] for seg in segments]
     tau, rmax, invz = _topk_stats_fused(sims, valids, top_k, interpret)
 

@@ -66,6 +66,7 @@ def get_similarity(
     qk: jnp.ndarray,
     qe: Optional[jnp.ndarray],
     accum_dtype=jnp.float32,
+    amp: bool = False,
 ) -> jnp.ndarray:
     """Similarity between memory keys and query keys.
 
@@ -74,6 +75,15 @@ def get_similarity(
       ms: [N] memory shrinkage (>= 1), or None.
       qk: [P, Ck] query keys.
       qe: [P, Ck] query selection in [0, 1], or None.
+      amp: run the MXU at Precision.HIGH (3-pass bf16x3) instead of
+        HIGHEST (6-pass) — the TPU analog of the reference's autocast
+        similarity (memory_util.py:7-32 under run_on_video.py:75). Unlike
+        casting operands to bf16 outright, bf16x3 keeps ~f32 accuracy
+        (~2^-21 relative), so the downstream top-k SELECTION is stable —
+        the similarity feeds a discrete top-k whose membership flips under
+        bf16 operand rounding would discretely change the readout. The
+        value readout itself (the dominant matmul) still runs native bf16
+        in AMP mode; selection math gets the accurate-but-fast tier.
 
     Returns:
       sim: [P, N] similarity (note: transposed w.r.t. the reference's B x N x HW
@@ -84,15 +94,22 @@ def get_similarity(
     Then scaled by ms[n] / sqrt(Ck).
     """
     ck = mk.shape[-1]
+    if amp:
+        cast, prec = (lambda x: x), jax.lax.Precision.HIGH
+    else:
+        cast, prec = (lambda x: x), _PRECISION
     if qe is not None:
         # -a_sq + two_ab - b_sq, computed as two MXU matmuls + a row reduction
-        a_sq = jnp.matmul(qe, (mk * mk).T, preferred_element_type=accum_dtype, precision=_PRECISION)  # [P, N]
-        two_ab = 2.0 * jnp.matmul(qk * qe, mk.T, preferred_element_type=accum_dtype, precision=_PRECISION)
+        a_sq = jnp.matmul(cast(qe), cast((mk * mk)).T,
+                          preferred_element_type=accum_dtype, precision=prec)  # [P, N]
+        two_ab = 2.0 * jnp.matmul(cast(qk * qe), cast(mk).T,
+                                  preferred_element_type=accum_dtype, precision=prec)
         b_sq = jnp.sum(qe * qk * qk, axis=-1, keepdims=True).astype(accum_dtype)  # [P, 1]
         sim = -a_sq + two_ab - b_sq
     else:
         a_sq = jnp.sum(mk * mk, axis=-1).astype(accum_dtype)  # [N]
-        two_ab = 2.0 * jnp.matmul(qk, mk.T, preferred_element_type=accum_dtype, precision=_PRECISION)
+        two_ab = 2.0 * jnp.matmul(cast(qk), cast(mk).T,
+                                  preferred_element_type=accum_dtype, precision=prec)
         sim = -a_sq[None, :] + two_ab
 
     if ms is not None:
