@@ -97,7 +97,9 @@ def _preload_permanent_memory(frames_to_put_in_permanent_memory: List[int],
         if augment_images_with_masks:
             from xmem2_tpu.inference.frame_selection.utils import (
                 get_determenistic_augmentations)
-            augs = get_determenistic_augmentations(sample.rgb.shape, msk,
+            # frame_rgb covers both host-preprocessed (rgb) and on-device
+            # (rgb_u8) paths; only the trailing (H, W, C) dims are used.
+            augs = get_determenistic_augmentations(frame_rgb.shape, msk,
                                                    subset='best_all')
             for img_aug, mask_aug in augs:
                 # augment in raw image space, then normalize+resize
