@@ -97,10 +97,13 @@ def _preload_permanent_memory(frames_to_put_in_permanent_memory: List[int],
         if augment_images_with_masks:
             from xmem2_tpu.inference.frame_selection.utils import (
                 get_determenistic_augmentations)
-            # frame_rgb covers both host-preprocessed (rgb) and on-device
-            # (rgb_u8) paths; only the trailing (H, W, C) dims are used.
-            augs = get_determenistic_augmentations(frame_rgb.shape, msk,
-                                                   subset='best_all')
+            # the reference derives translate_distance from the RESIZED frame
+            # (run_on_video.py:232-233 passes sample.rgb.shape, post-resize);
+            # msk is already resized above, so its trailing dims give the
+            # (H, W) that mask_aug operates in — frame_rgb may be the RAW
+            # uint8 frame under device_preprocess and must not be used here
+            augs = get_determenistic_augmentations(
+                (msk.shape[-2], msk.shape[-1], 3), msk, subset='best_all')
             for img_aug, mask_aug in augs:
                 # augment in raw image space, then normalize+resize
                 # (reference run_on_video.py:236-242)
@@ -285,11 +288,17 @@ def _inference_on_video(frames_with_masks, imgs_in_path, masks_in_path,
         im_saver.wait_for_jobs_to_finish(verbose=print_progress)
 
     if print_fps:
+        # total_processing_time is whole-loop WALL CLOCK (includes host frame
+        # decode waits, mask unpack and IoU post-processing) — the pipelined
+        # loop has no per-step device boundary to time, so this is labelled
+        # end-to-end rather than presented as the reference's per-step sum
         print(f'TOTAL PRELOADING TIME: {total_preloading_time:.4f}s')
-        print(f'TOTAL PROCESSING TIME: {total_processing_time:.4f}s')
+        print(f'TOTAL PROCESSING TIME (end-to-end wall clock): '
+              f'{total_processing_time:.4f}s')
         print(f'TOTAL TIME (excluding image saving): '
               f'{total_preloading_time + total_processing_time:.4f}s')
-        print(f'TOTAL PROCESSING FPS: {vid_length / total_processing_time:.4f}')
+        print(f'TOTAL PROCESSING FPS (end-to-end wall clock): '
+              f'{vid_length / total_processing_time:.4f}')
         print(f'TOTAL FPS (excluding image saving): '
               f'{vid_length / (total_preloading_time + total_processing_time):.4f}')
 
