@@ -21,17 +21,31 @@ from xmem2_tpu.models import network as XN
 from xmem2_tpu.ops.tensor import aggregate, pad_divide_by, unpad
 
 
+def _stage_checksum(acc, *xs):
+    """Fold a data-dependent scalar into the uint32 checksum chain — the
+    truncated stage programs (stop_after) return this so a single fetch
+    bounds all device work up to the cut, same rule as the full program."""
+    s = jnp.float32(0)
+    for x in xs:
+        if x is not None:
+            s = s + jnp.sum(jnp.abs(x).astype(jnp.float32))
+    s = jnp.nan_to_num(s, nan=1.0, posinf=2.0, neginf=3.0)
+    folded = jnp.mod(s, 65536.0).astype(jnp.uint32)
+    return folded if acc is None else acc + folded
+
+
 @partial(jax.jit, static_argnames=('size', 'h_out', 'dtype_name', 'group_ids',
                                    'top_k', 'use_long', 'count_usage',
                                    'count_long_usage', 'fused', 'interpret',
                                    'used_caps', 'use_perm', 'pack_hw',
                                    'mem_frame', 'deep_update',
-                                   'use_selection'))
+                                   'use_selection', 'stop_after'))
 def _plain_frame_step(params, image, temp, perm, long, hidden, acc=None, *,
                       size, h_out, dtype_name, group_ids, top_k, use_long,
                       count_usage, count_long_usage, fused, interpret,
                       used_caps, use_perm, pack_hw=None, mem_frame=False,
-                      deep_update=False, use_selection=False):
+                      deep_update=False, use_selection=False,
+                      stop_after=None):
     """The steady-state frame (no user mask) as ONE compiled program:
     preprocess -> pad -> encode key -> memory match -> segment -> unpad
     [-> encode value + working-memory append] [-> resize/argmax/4-bit pack].
@@ -60,6 +74,10 @@ def _plain_frame_step(params, image, temp, perm, long, hidden, acc=None, *,
 
     key, shrinkage, selection, f16, f8, f4 = XN.encode_key(params, image,
                                                            dtype=dtype)
+    if stop_after == 'key':
+        # truncated stage program (bench instrumentation): everything the key
+        # stage computes feeds the checksum so none of it dead-code-eliminates
+        return _stage_checksum(acc, key, shrinkage, selection)
     ck = key.shape[-1]
     qk = key.reshape(-1, ck)
     qe = selection.reshape(-1, ck) if selection is not None else None
@@ -69,12 +87,16 @@ def _plain_frame_step(params, image, temp, perm, long, hidden, acc=None, *,
         count_usage=count_usage, count_long_usage=count_long_usage,
         fused=fused, interpret=interpret, used_caps=used_caps,
         use_perm=use_perm)
+    if stop_after == 'readout':
+        return _stage_checksum(acc, key, shrinkage, selection, out)
     n_obj = out.shape[0]
     h16, w16 = key.shape[1:3]
     readout = out.reshape(n_obj, h16, w16, -1)[None]
 
     hidden_new, _, prob = XN.segment(params, (f16, f8, f4), readout, hidden,
                                      h_out=h_out, strip_bg=False, dtype=dtype)
+    if stop_after == 'decode':
+        return _stage_checksum(acc, prob, hidden_new)
 
     if mem_frame:
         # value-encode the prediction and append to working memory

@@ -108,10 +108,54 @@ def cbam(x: jnp.ndarray, p: dict, dtype=None) -> jnp.ndarray:
 # fusion / GRUs / projection (reference model/modules.py)
 # ---------------------------------------------------------------------------
 
+def _split_weight(p: dict, cx: int, part: str) -> dict:
+    """Channel-slice a conv param dict across a concat boundary. The 'x' part
+    keeps the bias (added once); the 'g' part is bias-free."""
+    w = p['weight']
+    if part == 'x':
+        out = {'weight': w[:, :, :cx]}
+        if p.get('bias') is not None:
+            out['bias'] = p['bias']
+        return out
+    return {'weight': w[:, :, cx:]}
+
+
+def _fused_distribute_resblock(x: jnp.ndarray, g: jnp.ndarray, p: dict,
+                               dtype=None) -> jnp.ndarray:
+    """group_resblock(distribute(x, g)) with the frame-feature half factored
+    out of conv1 and downsample.
+
+    A conv over a channel concat is the sum of convs over the parts, and the
+    frame features x are IDENTICAL across the N object slots distribute
+    broadcasts them to — so their contribution is computed once per frame and
+    broadcast, instead of N times. Per-object conv1/downsample input width
+    drops from (Cx+Cg) to Cg: for the decoder fuser (1024 frame + 576 group
+    channels, reference modules.py:22-41) that removes ~2/3 of the
+    per-object FLOPs of those convs at high object counts. relu commutes
+    with concat, so splitting is exact up to f32 summation order."""
+    cx = x.shape[-1]
+    xr = F.relu(x)
+    out_x = F.conv2d(xr, _split_weight(p['conv1'], cx, 'x'),
+                     padding=1, dtype=dtype)
+    out = gconv2d(F.relu(g), _split_weight(p['conv1'], cx, 'g'),
+                  padding=1, dtype=dtype)
+    out = out + out_x[:, None].astype(out.dtype)
+    out = gconv2d(F.relu(out), p['conv2'], padding=1, dtype=dtype)
+    skip_x = F.conv2d(x, _split_weight(p['downsample'], cx, 'x'),
+                      padding=1, dtype=dtype)
+    skip = gconv2d(g, _split_weight(p['downsample'], cx, 'g'),
+                   padding=1, dtype=dtype)
+    return out + skip + skip_x[:, None].astype(out.dtype)
+
+
 def feature_fusion(x: jnp.ndarray, g: jnp.ndarray, p: dict, dtype=None) -> jnp.ndarray:
     """FeatureFusionBlock (reference modules.py:22-41)."""
-    g = distribute(x, g)
-    g = group_resblock(g, p['block1'], dtype=dtype)
+    if g.shape[1] > 1 and 'downsample' in p['block1']:
+        # multi-object: frame features enter conv1/downsample once, not N×
+        g = _fused_distribute_resblock(x, g, p['block1'], dtype=dtype)
+    else:
+        g = distribute(x, g)
+        g = group_resblock(g, p['block1'], dtype=dtype)
     flat, bn = _fold(g)
     r = _unfold(cbam(flat, p['attention'], dtype=dtype), bn)
     return group_resblock(g + r, p['block2'], dtype=dtype)
