@@ -447,10 +447,15 @@ class QShortcut(QObject):
 
 class QFileDialog:
     next_file = ''   # tests set this, then trigger the dialog-using action
+    next_dir = ''
 
     @staticmethod
     def getOpenFileName(parent=None, caption='', directory='', filter=''):
         return QFileDialog.next_file, ''
+
+    @staticmethod
+    def getExistingDirectory(parent=None, caption='', directory=''):
+        return QFileDialog.next_dir
 
 
 class QApplication(QObject):

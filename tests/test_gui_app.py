@@ -196,6 +196,53 @@ class TestAppWiring:
         qt_stub.QFileDialog.next_file = ''
         app.btn_import_mask.click()          # must not raise
 
+    def test_commit_button_finalizes_interaction(self, gui):
+        """Commit button parity (reference gui.py:81-83, 804-806)."""
+        app, rm = gui
+        app.canvas.mousePressEvent(qt_stub._Event(30, 20))
+        app.canvas.mouseMoveEvent(qt_stub._Event(34, 24))
+        assert app.ctl.interaction is not None
+        app.btn_commit.click()
+        assert app.ctl.interaction is None
+        assert rm.get_mask(0) is not None and rm.get_mask(0).max() == 1
+        app.btn_commit.click()               # idle commit must not raise
+
+    def test_reset_mask_button_zeroes_current_frame(self, gui):
+        """Reset-mask button parity (reference gui.py:107, 910-917)."""
+        app, rm = gui
+        _paint_mask(app)
+        assert rm.get_mask(0).max() == 1
+        app.btn_reset_mask.click()
+        assert rm.get_mask(0).max() == 0
+
+    def test_import_all_masks_button(self, gui, tmp_path):
+        """Import-ALL-masks button parity (reference gui.py:236-238,
+        1143-1191): bulk path imports every mask and rewinds to frame 0."""
+        app, rm = gui
+        d = tmp_path / 'masks'
+        d.mkdir()
+        for fi in range(6):
+            m = np.zeros((48, 64), np.uint8)
+            m[4:10, 4:10] = 1
+            Image.fromarray(m, mode='P').save(d / f'{fi:05d}.png')
+        qt_stub.QFileDialog.next_dir = str(d)
+        try:
+            app.btn_import_all_masks.click()
+        finally:
+            qt_stub.QFileDialog.next_dir = ''
+        for fi in range(6):
+            assert rm.get_mask(fi) is not None and rm.get_mask(fi).max() == 1
+        # 6 <= bulk threshold (10): small-batch path saves references and
+        # parks the cursor at the last import (reference gui.py:1189-1191)
+        assert app.cursur == 5
+        assert sorted(app.references_tab.frames) == list(range(6))
+        assert any('Imported 6 masks' in ln for ln in app.console.lines)
+
+    def test_import_all_masks_empty_dialog_is_noop(self, gui):
+        app, rm = gui
+        qt_stub.QFileDialog.next_dir = ''
+        app.btn_import_all_masks.click()     # must not raise
+
     def test_play_video_timer_advances_and_wraps(self, gui):
         """Play/pause: reference gui.py:78-80, 387-397, 896-908 — the timer
         steps the cursor each tick and wraps at the last frame."""

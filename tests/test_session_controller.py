@@ -191,3 +191,105 @@ class TestInteractionFlow:
         mask = ctl.end_path()
         assert mask is not None and mask.max() == 1
         assert rm.get_mask(0).max() == 1
+
+    def test_explicit_commit_ends_interaction(self, session):
+        """Commit button parity (reference gui.py:804-806): finalize the
+        current interaction into the saved mask AND end it — the next stroke
+        starts a fresh interaction instead of extending this one."""
+        ctl, rm, logs = session
+        ctl.push_point(30.0, 20.0, False, 'free')
+        ctl.push_point(34.0, 24.0, False, 'free')
+        first = ctl.interaction
+        assert first is not None
+        mask = ctl.commit()
+        assert mask is not None and mask.max() == 1
+        assert ctl.interaction is None
+        assert rm.get_mask(0).max() == 1
+        # commit with nothing in flight is a no-op
+        assert ctl.commit() is None
+        # a new stroke creates a NEW interaction object
+        ctl.push_point(10.0, 10.0, False, 'free')
+        assert ctl.interaction is not None and ctl.interaction is not first
+
+    def test_reset_mask_zeroes_and_aborts_interaction(self, session):
+        """Reset-mask parity (reference gui.py:910-917 on_reset_mask): zero
+        the current frame's mask, save it, abandon the interaction — the
+        documented negative-masks workaround."""
+        ctl, rm, logs = session
+        _paint_mask(ctl)
+        assert rm.get_mask(0).max() == 1
+        ctl.push_point(30.0, 20.0, False, 'free')
+        assert ctl.interaction is not None
+        out = ctl.reset_mask()
+        assert out.max() == 0
+        assert rm.get_mask(0) is not None and rm.get_mask(0).max() == 0
+        assert ctl.interaction is None
+
+
+class TestBulkImport:
+    def _write_masks(self, tmp_path, frame_ids, value=1):
+        d = tmp_path / 'bulk_masks'
+        d.mkdir(exist_ok=True)
+        for fi in frame_ids:
+            m = np.zeros((48, 64), np.uint8)
+            m[4:10, 4:10] = value
+            Image.fromarray(m, mode='P').save(d / f'{fi:05d}.png')
+        return d
+
+    def test_small_batch_saves_references(self, session, tmp_path):
+        """<= bulk_threshold masks: each import also goes to permanent
+        memory, like individual imports (reference gui.py:1189-1191,
+        1238-1240)."""
+        ctl, rm, logs = session
+        d = self._write_masks(tmp_path, [0, 2])
+        result = ctl.import_all_masks(str(d))
+        assert result == {'imported': 2, 'errors': []}
+        assert rm.get_mask(0).max() == 1 and rm.get_mask(2).max() == 1
+        assert rm.references == {0, 2}
+        assert ctl.cursur == 2                   # parked at the last import
+
+    def test_bulk_batch_suppresses_references_and_rewinds(self, session,
+                                                          tmp_path):
+        """> bulk_threshold: references are NOT saved (memory would explode
+        at 1000+ masks) and the cursor returns to 0 (reference
+        gui.py:1174-1187)."""
+        ctl, rm, logs = session
+        d = self._write_masks(tmp_path, [0, 1, 2, 3])
+        progress = []
+        result = ctl.import_all_masks(str(d), on_progress=progress.append,
+                                      bulk_threshold=2)
+        assert result == {'imported': 4, 'errors': []}
+        assert progress == [1, 2, 3, 4]
+        assert rm.references == set()
+        assert ctl.cursur == 0
+        for fi in range(4):
+            assert rm.get_mask(fi).max() == 1
+
+    def test_rejects_files_without_digits(self, session, tmp_path):
+        ctl, rm, logs = session
+        d = self._write_masks(tmp_path, [0, 1])
+        (d / 'nodigits.png').write_bytes((d / '00000.png').read_bytes())
+        result = ctl.import_all_masks(str(d))
+        assert result['imported'] == 0
+        assert 'nodigits.png' in result['errors']
+        assert any('incorrect names' in m for m in logs)
+
+    def test_rejects_out_of_range_ids(self, session, tmp_path):
+        ctl, rm, logs = session
+        d = self._write_masks(tmp_path, [0, 7])    # only 4 frames exist
+        result = ctl.import_all_masks(str(d))
+        assert result['imported'] == 0 and result['errors']
+
+    def test_import_mask_validates_object_count(self, session, tmp_path):
+        """reference gui.py:1208-1216: masks with more objects than the
+        session was opened with are rejected."""
+        ctl, rm, logs = session
+        bad = tmp_path / 'toomany.png'
+        m = np.zeros((48, 64), np.uint8)
+        m[:8, :8] = 2                              # num_objects == 1
+        m[10:12, :4] = 1     # keep indices contiguous or PIL remaps 2 -> 1
+        img = Image.fromarray(m, mode='P')
+        img.putpalette([0, 0, 0, 255, 0, 0, 0, 255, 0] + [0] * 759)
+        img.save(bad)
+        assert not ctl.import_mask(str(bad))
+        assert any('objects' in msg for msg in logs)

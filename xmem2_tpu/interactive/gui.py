@@ -142,14 +142,25 @@ class App(QMainWindow):
         self.btn_remove_ref = QPushButton('Remove reference')
         self.btn_candidates = QPushButton('Compute annotation candidates')
         self.btn_import_mask = QPushButton('Import mask')
+        self.btn_import_all_masks = QPushButton('Import ALL masks')
         self.btn_import_layer = QPushButton('Import layer')
+        self.btn_commit = QPushButton('Commit')
+        self.btn_commit.setToolTip('Finish current interaction with the mask')
+        self.btn_reset_mask = QPushButton('Reset mask')
+        self.btn_reset_mask.setToolTip(
+            "Zero the current frame's mask (negative-mask workaround)")
         self.btn_save_ref.clicked.connect(self.on_save_reference)
         self.btn_remove_ref.clicked.connect(self.on_remove_reference)
         self.btn_candidates.clicked.connect(self.on_compute_candidates)
         self.btn_import_mask.clicked.connect(self.on_import_mask)
+        self.btn_import_all_masks.clicked.connect(self.on_import_all_masks)
         self.btn_import_layer.clicked.connect(self.on_import_layer)
-        for b in (self.btn_save_ref, self.btn_remove_ref, self.btn_candidates,
-                  self.btn_import_mask, self.btn_import_layer):
+        self.btn_commit.clicked.connect(self.on_commit)
+        self.btn_reset_mask.clicked.connect(self.on_reset_mask)
+        for b in (self.btn_commit, self.btn_reset_mask, self.btn_save_ref,
+                  self.btn_remove_ref, self.btn_candidates,
+                  self.btn_import_mask, self.btn_import_all_masks,
+                  self.btn_import_layer):
             ref_row.addWidget(b)
 
         # live memory parameters (reference gui.py:1090-1128)
@@ -403,12 +414,41 @@ class App(QMainWindow):
             self.candidates_tab.add_image(int(fi))
         self.text(f'Next annotation candidates: {candidates}')
 
+    # --------------------------------------------------------- interaction
+    def on_commit(self):
+        """Explicit Commit (reference gui.py:804-806)."""
+        if self.ctl.commit() is not None:
+            self.show_current_frame()
+
+    def on_reset_mask(self):
+        """Zero the current frame's mask (reference gui.py:910-917)."""
+        self.ctl.reset_mask()
+        self.show_current_frame()
+
     # ------------------------------------------------------------- import
     def on_import_mask(self):
         file_name, _ = QFileDialog.getOpenFileName(self, 'Select mask file')
         if not file_name:
             return
-        self.ctl.import_mask(file_name)
+        if self.ctl.import_mask(file_name) \
+                and self.ctl.cursur in self.res_man.references:
+            self.references_tab.add_image(self.ctl.cursur)
+        self.show_current_frame()
+
+    def on_import_all_masks(self):
+        """Bulk mask import (reference gui.py:1143-1191)."""
+        dir_path = QFileDialog.getExistingDirectory(
+            self, 'Select mask directory')
+        if not dir_path:
+            return
+        result = self.ctl.import_all_masks(
+            dir_path, on_progress=lambda i: QApplication.processEvents())
+        for fi in sorted(self.res_man.references):
+            self.references_tab.add_image(fi)
+        self.text(f"Imported {result['imported']} masks"
+                  + (f"; errors: {result['errors']}" if result['errors']
+                     else ''))
+        self.tl_slider.setValue(self.ctl.cursur)
         self.show_current_frame()
 
     def on_import_layer(self):

@@ -8,6 +8,8 @@ live config mutation :1120-1128, memory gauges :1073-1088, imports
 class; headless tests drive it directly.
 """
 
+import re
+from pathlib import Path
 from typing import Callable, List, Optional
 
 import numpy as np
@@ -115,6 +117,30 @@ class SessionController:
         prob = self.interaction.predict()
         mask = prob_to_numpy_mask(np.asarray(prob))
         self.res_man.save_mask(self.cursur, mask)
+        return mask
+
+    def commit(self) -> Optional[np.ndarray]:
+        """Explicit Commit (reference gui.py:804-806 on_commit =
+        complete_interaction + update_interacted_mask): finalize the current
+        interaction into the saved mask and END it, so the next stroke starts
+        a fresh interaction from the committed result instead of extending
+        this one. No-op (returns None) when nothing is in flight."""
+        if self.interaction is None:
+            return None
+        mask = self.commit_interaction()
+        self.interaction = None
+        return mask
+
+    def reset_mask(self) -> np.ndarray:
+        """Reset/Delete the current frame's mask (reference gui.py:910-917
+        on_reset_mask): zero it, save, and abandon any in-flight interaction
+        — the documented workaround for the negative-masks limitation
+        (docs/LIMITATIONS.md)."""
+        mask = np.zeros((self.height, self.width), np.uint8)
+        self.res_man.save_mask(self.cursur, mask)
+        self.interaction = None
+        if self.fbrs_controller is not None:
+            self.fbrs_controller.unanchor()
         return mask
 
     # -------------------------------------------------------- propagation
@@ -236,11 +262,73 @@ class SessionController:
             alpha=0.5, only_new_candidates=True)]
 
     # ------------------------------------------------------------- import
-    def import_mask(self, file_name: str) -> bool:
+    def import_mask(self, file_name: str, save_ref: bool = True) -> bool:
+        """Import one mask onto the current frame (reference
+        gui.py:1193-1240 on_import_mask): validate shape and object count,
+        save, and — unless save_ref=False (the bulk-import path, where
+        references for 1000+ masks would explode memory) — also save the
+        frame to permanent memory as a reference."""
         mask = self.res_man.read_external_image(
             file_name, size=(self.height, self.width), force_mask=True)
+        if mask.ndim != 2 or mask.shape != (self.height, self.width):
+            self.log(f'Expected ({self.height}, {self.width}). '
+                     f'Got {mask.shape} instead.')
+            return False
+        if mask.max() > self.num_objects:
+            self.log(f'Expected {self.num_objects} objects. '
+                     f'Got {mask.max()} objects instead.')
+            return False
         self.res_man.save_mask(self.cursur, mask)
+        if save_ref:
+            self.interaction = None
+            self.save_reference()
         return True
+
+    def import_all_masks(self, dir_path: str,
+                         on_progress: Optional[Callable[[int], None]] = None,
+                         bulk_threshold: int = 10) -> dict:
+        """Bulk mask import from a directory (reference gui.py:1143-1191
+        on_import_all_masks). Frame ids are the first digit run in each
+        filename; any file without digits, or ids out of sorted order, abort
+        the import. Batches larger than `bulk_threshold` import WITHOUT
+        saving references (the reference suppresses per-mask reference saving
+        so permanent memory doesn't explode) and park the cursor at frame 0;
+        small batches import each mask AND save it as a reference, like
+        individual imports. Returns {'imported': n, 'errors': [...]}."""
+        pattern = re.compile(r'([0-9]+)')
+        files = sorted(p for p in Path(dir_path).iterdir() if p.is_file())
+        frame_ids, incorrect = [], []
+        for p in files:
+            m = pattern.search(p.name)
+            if m:
+                frame_ids.append(int(m.group(1)))
+            else:
+                incorrect.append(p.name)
+        if incorrect:
+            self.log('Files with incorrect names: ' + '\n'.join(incorrect))
+            return {'imported': 0, 'errors': incorrect}
+        if frame_ids != sorted(frame_ids):
+            self.log('Mask frame ids are not in sorted order.')
+            return {'imported': 0, 'errors': ['unsorted frame ids']}
+        bad = [fi for fi in frame_ids if fi >= self.num_frames]
+        if bad:
+            self.log(f'Mask frame ids out of range: {bad}')
+            return {'imported': 0, 'errors': [f'frame id {fi} >= '
+                                              f'{self.num_frames}'
+                                              for fi in bad]}
+        bulk = len(frame_ids) > bulk_threshold
+        imported, errors = 0, []
+        for i, (fi, p) in enumerate(zip(frame_ids, files)):
+            self.set_cursor(fi)
+            if self.import_mask(str(p), save_ref=not bulk):
+                imported += 1
+            else:
+                errors.append(p.name)
+            if on_progress is not None:
+                on_progress(i + 1)
+        if bulk:
+            self.set_cursor(0)
+        return {'imported': imported, 'errors': errors}
 
     def import_layer(self, file_name: str) -> bool:
         layer = self.res_man.read_external_image(
