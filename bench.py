@@ -288,15 +288,19 @@ def run_long_video_device(net, cfg, samples, msk0, labels, n_frames=300):
 
 
 def stage_breakdown(net, cfg, samples, msk0, labels, iters=40):
-    """Per-stage device timings (ms/frame) for the steady-state pipeline:
-    key encode (ResNet-50 + projection), memory readout (fused kernel),
-    decode (FFB + GRU + upsample + argmax/pack), and value encode (ResNet-18,
-    amortized by mem_every). Each stage is timed with the same checksum-chain
-    method as the FPS metrics (a data-dependent scalar fetch closes the
-    region), so the numbers are honest device times even over the tunnel."""
+    """Per-stage device timings (ms/frame) for the steady-state pipeline.
+
+    Times NESTED truncated frame programs (`_plain_frame_step(...,
+    stop_after='key'/'readout'/'decode'/None)`): each truncated program runs
+    the real frame pipeline up to the cut and folds everything it computed
+    into the checksum, so a single data-dependent fetch bounds all device
+    work up to that point (same honesty rule as the FPS metrics). Stage costs
+    are successive differences, so by construction
+    key + readout + decode + pack_resize = full_frame. Value encode
+    (ResNet-18, runs once per mem_every frames) is reported separately."""
     import jax
     import jax.numpy as jnp
-    from xmem2_tpu.inference.core import InferenceCore
+    from xmem2_tpu.inference.core import InferenceCore, _plain_frame_step
     proc = InferenceCore(net, config=dict(cfg))
     proc.set_all_labels(labels)
     m0 = jnp.asarray(msk0)
@@ -308,54 +312,39 @@ def stage_breakdown(net, cfg, samples, msk0, labels, iters=40):
                   acc=jnp.zeros((), jnp.uint32))
 
     mm = proc.memory
-    key, shrinkage, selection = proc.encode_frame_key(frames[12])
+    cfgm = mm.match_static_config(False)
 
-    timings = {}
+    def staged_loop(stop_after):
+        acc = jnp.zeros((), jnp.uint32)
+        for i in range(iters):
+            r = _plain_frame_step(
+                net.params, frames[13 + (i % 10)], mm.temp, mm.perm,
+                mm.long if cfgm['use_long'] else None, mm.get_hidden(), acc,
+                size=proc.size, h_out=True,
+                dtype_name=getattr(net.dtype, '__name__', str(net.dtype)),
+                pack_hw=hw, mem_frame=False, deep_update=False,
+                use_selection=proc.enable_long_term, stop_after=stop_after,
+                **cfgm)
+            acc = r if stop_after else r[-1]
+        return int(acc)
 
-    def timed(name, fn):
-        fn()                                   # warm/compile
+    cum = {}
+    for stop in ('key', 'readout', 'decode', None):
+        staged_loop(stop)                      # warm/compile
         best = float('inf')
         for _ in range(2):
             t0 = time.perf_counter()
-            fn()
+            staged_loop(stop)
             best = min(best, (time.perf_counter() - t0) / iters)
-        timings[name] = round(best * 1e3, 3)
+        cum[stop or 'full'] = best * 1e3
 
-    @jax.jit
-    def encode_loop(img):
-        def body(c, _):
-            k, s, e, *_ = net.encode_key(
-                (img + c).reshape((1,) + img.shape))
-            return jnp.sum(k) * 1e-6, None
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
-        return c
-
-    img480 = jnp.asarray(
-        np.random.default_rng(0).standard_normal(
-            (480, 864, 3)).astype(np.float32))
-    timed('key_encode', lambda: float(encode_loop(img480)))
-
-    cfgm = mm.match_static_config(True)
-
-    def readout_loop():
-        out = None
-        for _ in range(iters):
-            out = mm.match_memory(key, selection, disable_usage_updates=True)
-        return float(jnp.sum(out))
-    timed('memory_readout', readout_loop)
-
-    # decode: reuse the full step minus everything else is impractical to
-    # isolate exactly; time the whole steady frame and subtract
-    def frame_loop():
-        acc = jnp.zeros((), jnp.uint32)
-        for i in range(iters):
-            _, _, acc = proc.step(frames[13 + (i % 10)], pack_hw=hw, acc=acc,
-                                  disable_memory_updates=True)
-        return int(acc)
-    timed('full_frame', frame_loop)
-    timings['decode_and_rest'] = round(
-        max(timings['full_frame'] - timings['key_encode']
-            - timings['memory_readout'], 0.0), 3)
+    timings = {
+        'key_encode': round(cum['key'], 3),
+        'memory_readout': round(cum['readout'] - cum['key'], 3),
+        'decode': round(cum['decode'] - cum['readout'], 3),
+        'pack_resize': round(cum['full'] - cum['decode'], 3),
+        'full_frame': round(cum['full'], 3),
+    }
 
     @jax.jit
     def value_loop(img, f16, hidden, mask):
@@ -370,9 +359,14 @@ def stage_breakdown(net, cfg, samples, msk0, labels, iters=40):
     n_obj = hidden.shape[1]   # value encoder runs per object group member
     mask1 = jnp.zeros((1, n_obj, 480, 864))
     try:
-        timed('value_encode_per_memframe',
-              lambda: float(value_loop(jnp.zeros((1, 480, 864, 3)), f16,
-                                       hidden, mask1)))
+        img0 = jnp.zeros((1, 480, 864, 3))
+        float(value_loop(img0, f16, hidden, mask1))      # warm/compile
+        best = float('inf')
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(value_loop(img0, f16, hidden, mask1))
+            best = min(best, (time.perf_counter() - t0) / iters)
+        timings['value_encode_per_memframe'] = round(best * 1e3, 3)
     except Exception:
         timings['value_encode_per_memframe'] = None
     return timings
@@ -588,6 +582,25 @@ def main():
                                            n_long)
         dt = time.perf_counter() - t0
         long_fps = max(long_fps, n_long / dt)
+
+    # real-weights accuracy gate: runs automatically the moment trained
+    # weights appear at saves/XMem.{pth,npz}; otherwise writes an explicit
+    # SKIPPED artifact (ACCURACY.json) instead of silence
+    accuracy = None
+    try:
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).parent / 'scripts'))
+        import accuracy_gate
+        weights = accuracy_gate.find_weights()
+        accuracy = (accuracy_gate.run_gate(weights) if weights is not None
+                    else {'status': 'SKIPPED',
+                          'reason': 'no trained weights at saves/XMem.{pth,npz}',
+                          'pass': None})
+        accuracy_gate.ARTIFACT.write_text(
+            json.dumps(accuracy, indent=1) + '\n')
+    except Exception:
+        import traceback
+        traceback.print_exc()
 
     best_fps = max(device_fps, chunked_fps) if chunked_ok else device_fps
     if flops is not None and peak is not None:
