@@ -70,7 +70,13 @@ def run_one_video(video_dir, out_root, k, selectors, overwrite_config=None):
 
 
 def compute_metrics(pred_root, gt_root):
-    """DAVIS J&F over saved predictions (reference compute_metrics :376)."""
+    """DAVIS J&F over saved predictions (reference compute_metrics :376).
+
+    Predictions are saved as RGB (palette colors mapped back, reference
+    image_saver semantics), so they are quantized against the GT's OWN
+    palette to recover object indices — reference _load_preds
+    (run_experiments.py:322-323); a plain convert('P') would invent an
+    adaptive palette whose indices never match the GT's."""
     from xmem2_tpu.utils.metrics import batched_f_measure, batched_jaccard
     rows = {}
     for vid in sorted(os.listdir(pred_root)):
@@ -79,13 +85,22 @@ def compute_metrics(pred_root, gt_root):
         if not path.isdir(pred_dir):
             continue
         preds, gts = [], []
+        palette_img = None
         for f in sorted(os.listdir(pred_dir)):
             gt_path = path.join(gt_dir, f)
             if not path.exists(gt_path):
                 continue
-            preds.append(np.array(Image.open(
-                path.join(pred_dir, f)).convert('P')))
-            gts.append(np.array(Image.open(gt_path).convert('P')))
+            gt_img = Image.open(gt_path).convert('P')
+            if palette_img is None:
+                palette_img = gt_img
+            gts.append(np.array(gt_img))
+            pred_img = Image.open(path.join(pred_dir, f))
+            if pred_img.mode == 'P':
+                preds.append(np.array(pred_img))
+            else:
+                preds.append(np.array(
+                    pred_img.convert('RGB').quantize(
+                        palette=palette_img, dither=Image.Dither.NONE)))
         if not preds:
             continue
         y_pred, y_true = np.stack(preds), np.stack(gts)

@@ -60,6 +60,15 @@ def test_run_experiments_cli(tmp_path):
         masks = list((out / sel / 'chair' / 'masks').glob('*.png'))
         assert len(masks) == 5, (sel, r.stdout[-500:])
 
+    # value-level asserts — the exact failure mode that rotted the
+    # reference harness (run_experiments.py:18) was results nobody read.
+    # results.json mean_iou covers only UNANNOTATED frames (annotated ones
+    # report -1 by convention, run_on_video.py:180): real numbers in [0, 1).
+    ffo = results['chair']['first_frame_only']['mean_iou']
+    uni = results['chair']['uniform']['mean_iou']
+    for v in (ffo, uni):
+        assert 0.0 <= v < 1.0 and v == v, (ffo, uni)
+
     # compute_metrics over the saved predictions vs the GT annotations
     # (layout: gt_root/<vid>/*.png)
     gt_root = tmp_path / 'gt'
@@ -67,5 +76,16 @@ def test_run_experiments_cli(tmp_path):
     (gt_root / 'chair').symlink_to(root / 'Annotations')
     sys.path.insert(0, str(Path(__file__).parent.parent))
     from run_experiments import compute_metrics
-    rows = compute_metrics(str(out / 'uniform'), str(gt_root))
-    assert 'chair' in rows and 0 <= rows['chair']['J&F'] <= 1
+    rows_uni = compute_metrics(str(out / 'uniform'), str(gt_root))
+    rows_ffo = compute_metrics(str(out / 'first_frame_only'), str(gt_root))
+    assert 'chair' in rows_uni and 0 <= rows_uni['chair']['J&F'] <= 1
+    # selector ORDERING on the full-sequence J&F (annotated frames included):
+    # uniform pins 2 of 5 frames to their exact GT vs first_frame_only's 1,
+    # so with imperfect synthetic-weight predictions elsewhere uniform must
+    # strictly win — 2/5 + 3j/5 > 1/5 + 4j/5 for any j < 1. A harness that
+    # writes masks to the wrong directory, mixes up selectors, or stops
+    # honoring frames_with_masks breaks this inequality immediately.
+    assert rows_uni['chair']['J&F'] > rows_ffo['chair']['J&F'], \
+        (rows_uni, rows_ffo)
+    assert rows_ffo['chair']['J&F'] >= 1 / 5 - 0.05, rows_ffo
+    assert rows_uni['chair']['J&F'] >= 2 / 5 - 0.05, rows_uni
