@@ -171,16 +171,51 @@ class TestBoundaryTies:
                                    np.asarray(ref_usage), rtol=1e-5, atol=1e-5)
 
 
+def test_chunk_bounds_respect_group_buffers():
+    """The greedy chunker charges one [BQ, BN] aff buffer per DISTINCT group
+    in a chunk (ADVICE r4: a fixed 3-buffer estimate under-counted multi-
+    group chunks and could push past Mosaic's 16MB scoped-vmem cap)."""
+    from xmem2_tpu.ops.readout_kernel import BN, BQ, _chunk_bounds
+
+    per_obj = 2 * BN * 512 * 4 + 2 * BQ * 512 * 4
+    aff = BQ * BN * 4
+    sim = 2 * BQ * BN * 4
+
+    def cost(gids, lo, hi, first):
+        groups = set(gids[lo:hi]) | ({0} if first else set())
+        return sim + len(groups) * aff + (hi - lo) * per_obj
+
+    for gids in [(0,) * 8, (0, 0, 0, 1, 1, 2, 3, 3), tuple(range(8)),
+                 (0, 1) * 4, (5, 4, 3, 2, 1, 0)]:
+        bounds = _chunk_bounds(gids, 512, 4)
+        # covers all objects exactly once, in order
+        assert bounds[0][0] == 0 and bounds[-1][1] == len(gids)
+        assert all(b[1] == bounds[i + 1][0] for i, b in enumerate(bounds[:-1]))
+        for i, (lo, hi) in enumerate(bounds):
+            assert hi > lo
+            # within budget unless the chunk is a single unavoidable object
+            if hi - lo > 1:
+                from xmem2_tpu.ops.readout_kernel import _VMEM_BUDGET
+                assert cost(gids, lo, hi, i == 0) <= _VMEM_BUDGET
+
+    # distinct-group chunks must be SMALLER than same-group chunks when the
+    # extra aff buffers matter: with a tight budget, 3 distinct groups that
+    # fit as one same-group chunk must split
+    tight = sim + aff + 3 * per_obj + aff // 2
+    assert _chunk_bounds((0, 0, 0), 512, 4, budget=tight) == [(0, 3)]
+    assert len(_chunk_bounds((0, 1, 2), 512, 4, budget=tight)) > 1
+
+
 def test_many_objects_chunked_pass_matches_jnp():
     """8 objects at the production value width (Cv=512) splits the streamed
-    pass into VMEM-budgeted object chunks (_obj_chunk(512) == 2 -> 4 pallas
-    calls); an unchunked call at this shape scope-OOMs Mosaic's 16MB VMEM
-    limit on v5e. Group boundaries intentionally straddle chunk boundaries,
-    and usage must come from the first chunk only."""
-    from xmem2_tpu.ops.readout_kernel import _obj_chunk
+    pass into VMEM-budgeted object chunks; an unchunked call at this shape
+    scope-OOMs Mosaic's 16MB VMEM limit on v5e. Group boundaries
+    intentionally straddle chunk boundaries, and usage must come from the
+    first chunk only."""
+    from xmem2_tpu.ops.readout_kernel import _chunk_bounds
 
-    assert _obj_chunk(512) < 8  # the config below must actually chunk
     gids = (0, 0, 0, 1, 1, 2, 3, 3)
+    assert len(_chunk_bounds(gids, 512, 4)) > 1  # must actually chunk
     mk, ms, qk, qe, values, valid = make_case(5, 400, 70, 8, 4, cv=512,
                                               invalid_tail=13)
     ref_read, ref_usage = jnp_reference(mk, ms, qk, qe, values, valid, gids, 30)

@@ -114,17 +114,40 @@ def _make_kernel(n_blocks: int, num_groups: int, group_ids: Tuple[int, ...],
 # scoped-vmem limit on v5e is 16MB, leave headroom for the compiler's own
 # staging. Per chunked object the call holds a double-buffered value block
 # (storage dtype — bf16 stores halve it) plus f32 acc scratch + out block;
-# the [BQ, BN] aff intermediates and double-buffered sim block are shared
-# across objects. An unchunked 8-object f32 call at Cv=512 wants ~21MB and
-# hard-fails Mosaic (seen in the r3 bench); bf16 stores fit 8 objects in two
-# calls instead of eight.
+# the double-buffered sim block is shared across objects, and each DISTINCT
+# group in the chunk (plus group 0 on the usage-computing first chunk)
+# materializes its own [BQ, BN] f32 affinity buffer. An unchunked 8-object
+# f32 call at Cv=512 wants ~21MB and hard-fails Mosaic (seen in the r3
+# bench); bf16 stores fit 8 objects in two calls instead of eight.
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _obj_chunk(cv: int, val_itemsize: int = 4) -> int:
+def _chunk_bounds(group_ids, cv: int, val_itemsize: int = 4,
+                  budget: int = _VMEM_BUDGET):
+    """Greedy object chunking under the VMEM budget, charging one [BQ, BN]
+    f32 affinity buffer per DISTINCT group a chunk touches (the earlier
+    fixed 3-buffer estimate under-counted multi-group chunks, which could
+    push a chunk past Mosaic's 16MB hard cap). Returns [(start, end)) pairs
+    covering range(len(group_ids)); every chunk takes at least one object."""
     per_obj = 2 * BN * cv * val_itemsize + 2 * BQ * cv * 4
-    shared = 3 * BQ * BN * 4
-    return max(1, (_VMEM_BUDGET - shared) // per_obj)
+    aff_buf = BQ * BN * 4
+    sim_shared = 2 * BQ * BN * 4
+    bounds = []
+    i, n = 0, len(group_ids)
+    while i < n:
+        groups = {0} if not bounds else set()  # first chunk computes usage
+        cost = sim_shared + len(groups) * aff_buf
+        j = i
+        while j < n:
+            extra = per_obj + (aff_buf if group_ids[j] not in groups else 0)
+            if j > i and cost + extra > budget:
+                break
+            cost += extra
+            groups.add(group_ids[j])
+            j += 1
+        bounds.append((i, j))
+        i = j
+    return bounds
 
 
 def _pallas_pass_chunk(sim_p, v_p, valid_p, tau_p, rmax_p, invz_p, qvalid,
@@ -193,10 +216,8 @@ def _pallas_pass(sim, values, valid, tau, rmax, invz, group_ids, interpret):
     rmax_p = jnp.pad(rmax, ((0, pad_q), (0, 0)))
     invz_p = jnp.pad(invz, ((0, pad_q), (0, 0)))
 
-    oc = _obj_chunk(cv, v_p.dtype.itemsize)
     outs, usage = [], None
-    for c0 in range(0, o, oc):
-        c1 = min(c0 + oc, o)
+    for c0, c1 in _chunk_bounds(group_ids, cv, v_p.dtype.itemsize):
         out_c, usage_c = _pallas_pass_chunk(
             sim_p, v_p[c0:c1], valid_p, tau_p, rmax_p, invz_p, qvalid,
             group_ids[c0:c1], compute_usage=(c0 == 0), interpret=interpret)
