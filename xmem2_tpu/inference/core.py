@@ -157,43 +157,42 @@ def _chunk_frame_step(params, images, temp, perm, long, hidden, acc, *,
 
     dtype = jnp.bfloat16 if dtype_name == 'bfloat16' else None
 
-    # key encoding is memory-independent, so it runs OUTSIDE the scan as one
-    # batch-k convolution pass — batch=1 convs underutilize the MXU; batching
-    # the whole run recovers most of that. Only the memory-dependent part
-    # (match -> segment -> pack), which carries the GRU hidden state, scans.
+    # key encoding AND memory readout are memory-write-free on plain frames,
+    # so both run OUTSIDE the scan as batch-k passes — batch=1 convs and
+    # 1620-row readouts underutilize the MXU; batching the whole run recovers
+    # most of that. Usage bookkeeping stays exact: use-counts are additive
+    # over queries and life-counts advance by usage_frames=k, landing on the
+    # same totals as k sequential readouts (affinities never read usage, and
+    # plain frames never consolidate/evict, so intermediates are unobserved).
+    # Only the decode (GRU hidden chain, reference updates hidden every
+    # normal frame — inference_core.py:88,108) scans.
+    k = images.shape[0]
     if images.dtype == jnp.uint8:
         images = jax.vmap(lambda im: preprocess_frame(im, size))(images)
     images, pad = pad_divide_by(images, 16)
     keys, _, selections, f16s, f8s, f4s = XN.encode_key(
         params, images, dtype=dtype)
-    has_sel = selections is not None
+
+    ck = keys.shape[-1]
+    h16, w16 = keys.shape[1:3]
+    qk = keys.reshape(-1, ck)
+    qe = selections.reshape(-1, ck) if selections is not None else None
+    out, temp, long = _match_kernel(
+        temp, perm, long, qk, qe,
+        group_ids=group_ids, top_k=top_k, use_long=use_long,
+        count_usage=count_usage, count_long_usage=count_long_usage,
+        fused=fused, interpret=interpret, used_caps=used_caps,
+        use_perm=use_perm, usage_frames=k)
+    n_obj = out.shape[0]
+    readouts = jnp.moveaxis(                       # [k, O, h16, w16, Cv]
+        out.reshape(n_obj, k, h16, w16, -1), 0, 1)
 
     def body(carry, xs):
-        if has_sel:
-            key, selection, f16, f8, f4 = xs
-        else:
-            key, f16, f8, f4 = xs
-            selection = None
-        t_use, t_life, l_use, l_life, hidden, acc = carry
-        temp_i = temp._replace(use_count=t_use, life_count=t_life)
-        long_i = (long._replace(use_count=l_use, life_count=l_life)
-                  if use_long else None)
-
-        ck = key.shape[-1]
-        qk = key.reshape(-1, ck)
-        qe = selection.reshape(-1, ck) if selection is not None else None
-        out, temp_o, long_o = _match_kernel(
-            temp_i, perm, long_i, qk, qe,
-            group_ids=group_ids, top_k=top_k, use_long=use_long,
-            count_usage=count_usage, count_long_usage=count_long_usage,
-            fused=fused, interpret=interpret, used_caps=used_caps,
-            use_perm=use_perm)
-        n_obj = out.shape[0]
-        h16, w16 = key.shape[0:2]
-        readout = out.reshape(n_obj, h16, w16, -1)[None]
+        readout, f16, f8, f4 = xs
+        hidden, acc = carry
 
         hidden, _, prob = XN.segment(params, (f16[None], f8[None], f4[None]),
-                                     readout, hidden,
+                                     readout[None], hidden,
                                      h_out=True, strip_bg=False, dtype=dtype)
 
         res = unpad(jnp.moveaxis(prob[0], 0, -1), pad)
@@ -201,24 +200,11 @@ def _chunk_frame_step(params, images, temp, perm, long, hidden, acc, *,
         packed = prob_to_mask_packed(res, pack_hw)
         if has_acc:
             acc = acc + jnp.sum(packed.astype(jnp.uint32))
-        carry = (temp_o.use_count, temp_o.life_count,
-                 long_o.use_count if use_long else l_use,
-                 long_o.life_count if use_long else l_life,
-                 hidden, acc)
-        return carry, packed
+        return (hidden, acc), packed
 
-    init = (temp.use_count, temp.life_count,
-            long.use_count if use_long else jnp.zeros((), jnp.float32),
-            long.life_count if use_long else jnp.zeros((), jnp.float32),
-            hidden,
-            acc if has_acc else jnp.zeros((), jnp.uint32))
-    xs = ((keys, selections, f16s, f8s, f4s) if has_sel
-          else (keys, f16s, f8s, f4s))
-    (t_use, t_life, l_use, l_life, hidden, acc), packs = jax.lax.scan(
-        body, init, xs)
-    temp = temp._replace(use_count=t_use, life_count=t_life)
-    if use_long:
-        long = long._replace(use_count=l_use, life_count=l_life)
+    init = (hidden, acc if has_acc else jnp.zeros((), jnp.uint32))
+    (hidden, acc), packs = jax.lax.scan(
+        body, init, (readouts, f16s, f8s, f4s))
     return packs, temp, long, hidden, (acc if has_acc else None)
 
 

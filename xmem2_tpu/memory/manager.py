@@ -72,7 +72,7 @@ def _pad_usage(usage: jnp.ndarray, cap: int) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=('group_ids', 'top_k', 'use_long',
                                    'count_usage', 'count_long_usage',
                                    'fused', 'interpret', 'used_caps',
-                                   'use_perm'))
+                                   'use_perm', 'usage_frames'))
 def _match_kernel(temp: StoreBuffers, perm: StoreBuffers,
                   long: Optional[StoreBuffers],
                   qk: jnp.ndarray, qe: Optional[jnp.ndarray],
@@ -80,7 +80,7 @@ def _match_kernel(temp: StoreBuffers, perm: StoreBuffers,
                   count_usage: bool, count_long_usage: bool,
                   fused: bool = False, interpret: bool = False,
                   used_caps: Optional[Tuple[int, ...]] = None,
-                  use_perm: bool = True):
+                  use_perm: bool = True, usage_frames: int = 1):
     """Memory readout across [long | temp | perm] with per-group top-k softmax.
 
     qk/qe: [HW, Ck]. Returns (readout [O, HW, Cv], temp', long').
@@ -88,6 +88,11 @@ def _match_kernel(temp: StoreBuffers, perm: StoreBuffers,
     computed once over the concatenation, each object group softmaxes over its
     own valid subset, usage is recorded for temp (and long when enabled) from
     the group-0 affinity.
+
+    usage_frames: life-count advance for this call — a BATCHED readout whose
+    qk stacks k frames' queries passes k, reproducing the totals of k
+    sequential per-frame readouts (use is additive over queries; affinities
+    never depend on usage, so only the totals matter).
 
     fused=True streams the softmax+readout through the Pallas kernel
     (ops/readout_kernel.py) — no dense [G, HW, N] affinity in HBM; the jnp
@@ -114,10 +119,12 @@ def _match_kernel(temp: StoreBuffers, perm: StoreBuffers,
             segments, qk, qe, group_ids, top_k, interpret=interpret)
         if use_long and count_long_usage:
             long = ST.update_usage(
-                long_full, _pad_usage(usages[0], long_full.capacity))
+                long_full, _pad_usage(usages[0], long_full.capacity),
+                frames=usage_frames)
         if count_usage:
             temp = ST.update_usage(
-                temp_full, _pad_usage(usages[ti], temp_full.capacity))
+                temp_full, _pad_usage(usages[ti], temp_full.capacity),
+                frames=usage_frames)
         return out, temp, long
 
     # bf16 value stores signal AMP mode (reference autocast analog): the
@@ -162,13 +169,13 @@ def _match_kernel(temp: StoreBuffers, perm: StoreBuffers,
                 long = ST.update_usage(
                     long_full,
                     _pad_usage(jax.lax.slice_in_dim(usage_vec, 0, caps[0]),
-                               long_full.capacity))
+                               long_full.capacity), frames=usage_frames)
             off += caps[0]
         if count_usage:
             temp = ST.update_usage(
                 temp_full,
                 _pad_usage(jax.lax.slice_in_dim(usage_vec, off, off + caps[ti]),
-                           temp_full.capacity))
+                           temp_full.capacity), frames=usage_frames)
     return out, temp, long
 
 

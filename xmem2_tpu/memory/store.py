@@ -153,13 +153,17 @@ def remove_range(store: StoreBuffers, start: jnp.ndarray, end: jnp.ndarray) -> S
     return _gather_compact(store, order, keep, jnp.sum(keep).astype(jnp.int32))
 
 
-def update_usage(store: StoreBuffers, usage: jnp.ndarray) -> StoreBuffers:
-    """use += usage per slot; life += 1 on occupied slots
-    (reference kv_memory_store.py:96-103)."""
+def update_usage(store: StoreBuffers, usage: jnp.ndarray,
+                 frames: int = 1) -> StoreBuffers:
+    """use += usage per slot; life += `frames` on occupied slots
+    (reference kv_memory_store.py:96-103 — life normally advances by 1 per
+    readout; a BATCHED readout over k frames passes its summed usage with
+    frames=k, which lands on exactly the totals k sequential updates
+    produce)."""
     valid = store.slot_valid()
     return store._replace(
         use_count=store.use_count + jnp.where(valid, usage, 0.0),
-        life_count=store.life_count + valid.astype(jnp.float32),
+        life_count=store.life_count + frames * valid.astype(jnp.float32),
     )
 
 
