@@ -315,8 +315,9 @@ def sharded_readout_overhead(iters=20):
             return jnp.sum(ss)
         return run
 
+    interp = jax.default_backend() == 'cpu'   # pallas needs interpret on CPU
     local = chain(lambda q: fused_topk_readout_multi(
-        [(mk, ms, values, valid)], q, qe, (0,), top_k)[0])
+        [(mk, ms, values, valid)], q, qe, (0,), top_k, interpret=interp)[0])
     sharded = chain(lambda q: sharded_topk_readout_multi(
         mesh, [sharded_bank], q, qe, (0,), top_k)[0])
 
@@ -682,6 +683,13 @@ def main():
         traceback.print_exc()
         breakdown = None
 
+    try:
+        shard_local_ms, shard_map_ms = sharded_readout_overhead()
+    except Exception:
+        import traceback
+        traceback.print_exc()
+        shard_local_ms = shard_map_ms = None
+
     n_long = 300
     run_long_video_device(net, cfg, samples, msk0, labels, n_long)  # warm
     long_fps, long_lt = 0.0, 0
@@ -803,6 +811,19 @@ def main():
             'vs_baseline': round((1000.0 / BASELINE_FPS) / p50_d4_ms, 3),
             'note': '4 frames in flight: the tunnel RTT amortizes and this '
                     'approaches true per-frame device time',
+        }, {
+            'metric': 'sharded_readout_overhead_ms',
+            'value': (round(shard_map_ms - shard_local_ms, 3)
+                      if shard_map_ms is not None else None),
+            'unit': 'ms',
+            'vs_baseline': None,
+            'note': (f'shard_map memory readout at D=1 vs fused local on the '
+                     f'same bank (local {shard_local_ms:.3f}ms, sharded '
+                     f'{shard_map_ms:.3f}ms/readout): the per-shard software '
+                     f'cost of --memory_shards with zero ICI work; on real '
+                     f'multi-chip meshes the bank and its HBM traffic divide '
+                     f'by D against this constant (SURVEY 2.9 CP-analog)'
+                     ) if shard_map_ms is not None else 'measurement failed',
         }, {
             'metric': 'longvideo_480p_device_fps',
             'value': round(long_fps, 2),

@@ -22,7 +22,8 @@ def _fat_result():
         'metric': 'chair_480p_device_fps', 'value': 182.0,
         'unit': 'frames/sec', 'vs_baseline': 6.07,
         'extra_metrics': [
-            {'metric': f'metric_{i}', 'value': float(i), 'unit': 'frames/sec',
+            {'metric': f'realistically_long_metric_name_{i:02d}',
+             'value': float(i), 'unit': 'frames/sec',
              'vs_baseline': 1.0, 'note': note} for i in range(14)
         ],
         'timing_method': note,

@@ -122,6 +122,7 @@ class TestDataParallelTrainer:
         assert len(leaf2.sharding.device_set) == 8
         assert not np.allclose(np.asarray(leaf2), before)
 
+    @pytest.mark.slow
     def test_mesh_matches_single_device(self, mesh8):
         """The 8-way sharded step computes the same loss as the unsharded
         step on identical data+rng — sharding must not change semantics."""
@@ -138,6 +139,7 @@ class TestDataParallelTrainer:
             float(aux_mesh['total_loss']), float(aux_single['total_loss']),
             rtol=2e-4)
 
+    @pytest.mark.slow
     def test_two_phase_matches_single_device(self, mesh8):
         """two_phase=True (collective-free grads program + tiny reduce
         program, the dryrun's mode) computes the same loss as the unsharded
@@ -159,6 +161,7 @@ class TestDataParallelTrainer:
         assert leaf.sharding.is_fully_replicated
         assert len(leaf.sharding.device_set) == 8
 
+    @pytest.mark.slow
     def test_two_phase_host_reduce_matches_single_device(self, mesh8,
                                                          monkeypatch):
         """XMEM2_TWO_PHASE_HOST_REDUCE=1 (the dryrun's zero-collective retry
@@ -184,6 +187,7 @@ class TestDataParallelTrainer:
         leaf = jax.tree.leaves(t_host.state.params.tree)[0]
         assert leaf.sharding.is_fully_replicated
 
+    @pytest.mark.slow
     def test_seq_grads_matches_single_device(self, mesh8, monkeypatch):
         """XMEM2_SEQ_GRADS=1 (the dryrun's execution strategy: per-shard
         grads run one-at-a-time on a single device, mesh reduce unchanged)
@@ -252,6 +256,7 @@ assert np.isfinite(float(aux["total_loss"]))
 print("BOOTSTRAP_OK", float(aux["total_loss"]))
 '''
 
+    @pytest.mark.slow
     def test_single_process_coordinator(self):
         import os
         import subprocess

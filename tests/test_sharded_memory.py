@@ -117,6 +117,7 @@ class TestShardedManagerParity:
             np.asarray(shrd.mm.temp.life_count)[:n],
             np.asarray(base.mm.temp.life_count)[:n], rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow
     def test_consolidation_and_eviction(self):
         # 10 frames with max_mt=4/min_mt=2 trigger consolidation repeatedly;
         # max_long=64 forces a long-term eviction along the way
@@ -129,6 +130,7 @@ class TestShardedManagerParity:
         assert shrd.mm.long_size == base.mm.long_size
         assert_sharded(shrd.mm.long)
 
+    @pytest.mark.slow
     def test_permanent_memory_ops(self):
         base, shrd, b, s = run_pair(
             dict(max_mid_term_frames=100), 6, permanent_frames=(0, 3))

@@ -105,6 +105,7 @@ class TestVOSDataset:
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_do_pass_updates_params(self, mini_vos_dir):
         import jax
         from xmem2_tpu.models.init import init_params
