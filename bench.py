@@ -567,6 +567,15 @@ def emit(result: dict):
 
 
 def main():
+    # persistent compile cache: the full sweep compiles dozens of frame-kind
+    # variants (chair/caps/4obj/8obj/staged/long); caching them makes repeat
+    # bench runs start timing in seconds instead of tens of minutes
+    import jax
+    jax.config.update('jax_compilation_cache_dir', os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+
     cfg, net, samples, msk0, labels = build()
     # two warmup passes: the first compiles every frame-kind variant, the
     # second drains per-executable staging costs (the first few executions
@@ -576,7 +585,6 @@ def main():
 
     # best of 3 timed passes (the dev tunnel's latency/bandwidth wobble);
     # XMEM2_TRACE_DIR wraps them in a jax.profiler device trace
-    import os
     from xmem2_tpu.utils.profiling import device_trace
     device_fps, checksum = 0.0, None
     with device_trace(os.environ.get('XMEM2_TRACE_DIR')):
