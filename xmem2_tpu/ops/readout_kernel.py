@@ -81,8 +81,13 @@ def _make_kernel(n_blocks: int, num_groups: int, group_ids: Tuple[int, ...],
             t = tau[:, g][:, None]
             m = rmax[:, g][:, None]
             z = invz[:, g][:, None]
-            w = jnp.where(sim >= t, jnp.exp(sim - m), 0.0)
-            aff[g] = w * gv[g][None, :] * z * qvalid
+            # the valid plane must gate the exp itself, not just scale the
+            # result: padded sim columns hold 0 (get_similarity_padded), and
+            # exp(0 - rmax) overflows to inf for strongly negative rows —
+            # inf * 0 would poison the block with NaNs
+            w = jnp.where((sim >= t) & (gv[g][None, :] > 0),
+                          jnp.exp(sim - m), 0.0)
+            aff[g] = w * z * qvalid
         vdt = v_ref.dtype
         for o in range(num_objects):
             # values stream in their storage dtype (bf16 halves the HBM
@@ -188,7 +193,8 @@ def _pallas_pass_chunk(sim_p, v_p, valid_p, tau_p, rmax_p, invz_p, qvalid,
     )(sim_p, v_p, valid_p, tau_p, rmax_p, invz_p, qvalid)
 
 
-def _pallas_pass(sim, values, valid, tau, rmax, invz, group_ids, interpret):
+def _pallas_pass(sim, values, valid, tau, rmax, invz, group_ids, interpret,
+                 true_p: Optional[int] = None):
     """One streamed segment pass. sim [P,N], values [O,N,Cv], valid [G,N];
     tau/rmax/invz [P,G] shared softmax stats. Returns (out [P,O*Cv] f32
     partial readout, usage [N] f32 group-0 usage).
@@ -198,6 +204,11 @@ def _pallas_pass(sim, values, valid, tau, rmax, invz, group_ids, interpret):
     call, identical to the unchunked kernel. The similarity block is
     re-streamed from HBM once per chunk — the value blocks dominate traffic
     so the overhead is small, and usage is only computed by the first call.
+
+    true_p: when the caller already padded the QUERY rows (sim from
+    get_similarity_padded), the real row count — padded rows must not leak
+    into the usage reduction. Padded sim COLUMNS need no sentinel value:
+    the kernel multiplies by the zero-padded valid plane.
     """
     p, n = sim.shape
     o, _, cv = values.shape
@@ -211,7 +222,8 @@ def _pallas_pass(sim, values, valid, tau, rmax, invz, group_ids, interpret):
     # upcasts per block in VMEM — no HBM-level f32 copy of the bank
     v_p = jnp.pad(values, ((0, 0), (0, pad_n), (0, 0)))
     valid_p = jnp.pad(valid, ((0, 0), (0, pad_n))).astype(jnp.float32)
-    qvalid = (jnp.arange(pp) < p).astype(jnp.float32)[:, None]
+    qvalid = (jnp.arange(pp) < (p if true_p is None else true_p)) \
+        .astype(jnp.float32)[:, None]
     tau_p = jnp.pad(tau, ((0, pad_q), (0, 0)), constant_values=jnp.inf)
     rmax_p = jnp.pad(rmax, ((0, pad_q), (0, 0)))
     invz_p = jnp.pad(invz, ((0, pad_q), (0, 0)))
@@ -412,29 +424,38 @@ def fused_topk_readout_multi(
     segment]) — equivalent to the jnp path over the concatenation
     (reference memory_manager.py:61-190), but the dense affinity and the
     concatenated value buffer never reach HBM."""
-    from xmem2_tpu.ops.similarity import get_similarity
+    from xmem2_tpu.ops.similarity import get_similarity_padded
 
     # bf16 value stores signal AMP mode (the reference's autocast analog):
     # the similarity matmuls also run with bf16 operands / f32 accumulation
     amp = segments[0][2].dtype == jnp.bfloat16
-    sims = [get_similarity(mk, ms, qk, qe, amp=amp)
-            for mk, ms, _, _ in segments]
-    valids = [seg[3] for seg in segments]
+    p = qk.shape[0]
+    pp = _round_up(p, BQ)
+    seg_ns = [seg[0].shape[0] for seg in segments]
+    # similarity emitted directly at kernel-tile shape: padding the [P, N]
+    # product afterwards is a full-size HBM copy (see get_similarity_padded)
+    sims = [get_similarity_padded(mk, ms, qk, qe, pp, _round_up(n, BN),
+                                  amp=amp)
+            for (mk, ms, _, _), n in zip(segments, seg_ns)]
+    valids = [jnp.pad(seg[3], ((0, 0), (0, _round_up(n, BN) - n)))
+              for seg, n in zip(segments, seg_ns)]
     tau, rmax, invz = _topk_stats_fused(sims, valids, top_k, interpret)
 
-    p = qk.shape[0]
     o = segments[0][2].shape[0]
     cv = segments[0][2].shape[-1]
 
     out = None
     usages = []
-    for sim, (_, _, values, valid) in zip(sims, segments):
-        seg_out, seg_usage = _pallas_pass(sim, values, valid, tau, rmax,
-                                          invz, group_ids, interpret)
+    for sim, (_, _, values, valid), n in zip(sims, segments, seg_ns):
+        seg_out, seg_usage = _pallas_pass(sim, values,
+                                          jnp.pad(valid, ((0, 0),
+                                                  (0, sim.shape[1] - n))),
+                                          tau, rmax, invz, group_ids,
+                                          interpret, true_p=p)
         out = seg_out if out is None else out + seg_out
-        usages.append(seg_usage)
+        usages.append(seg_usage[:n])
 
-    readout = out.reshape(p, o, cv).transpose(1, 0, 2)           # [O, P, Cv]
+    readout = out[:p].reshape(p, o, cv).transpose(1, 0, 2)       # [O, P, Cv]
     return readout, usages
 
 

@@ -117,6 +117,64 @@ def get_similarity(
     return sim / math.sqrt(ck)
 
 
+def get_similarity_padded(
+    mk: jnp.ndarray,
+    ms: Optional[jnp.ndarray],
+    qk: jnp.ndarray,
+    qe: Optional[jnp.ndarray],
+    pp: int,
+    nn: int,
+    amp: bool = False,
+) -> jnp.ndarray:
+    """get_similarity emitted directly at padded shape [pp, nn] via ONE matmul.
+
+    The fused readout kernels tile sim in [256, 512] blocks; padding the [P, N]
+    product after the fact is a full-array HBM copy (262 MB at chunked-query
+    scale — it showed up as the #4 op in the r5 device profile). Instead the
+    SMALL operands are padded (qk/qe rows, mk/ms columns) and the whole
+    similarity — both matmul terms, the b_sq row term, the shrinkage scale and
+    the 1/sqrt(Ck) — is folded into a single augmented matmul epilogue, so
+    exactly one [pp, nn] array is ever written:
+
+        lhs = [qe, 2*qk*qe, b_sq]   [P, 2Ck+1]
+        rhs = [-mk*mk, mk, -1]      [N, 2Ck+1]
+        sim = (lhs @ rhs.T) * (ms / sqrt(Ck))   # scale fused as epilogue
+
+    (without selection: lhs = [2*qk, 1], rhs = [mk, -a_sq].)
+
+    Padded columns yield sim = 0 — NOT -inf. Callers must mask them via the
+    (zero-padded) valid planes, which both fused kernels already do. Math and
+    precision tier match get_similarity exactly (same operands, same HIGH /
+    HIGHEST MXU passes, f32 accumulation); only the association of the +/-
+    terms moves into the dot, which is bit-equivalent because each output
+    element accumulates the same addends in f32.
+    """
+    ck = mk.shape[-1]
+    p, n = qk.shape[0], mk.shape[0]
+    prec = jax.lax.Precision.HIGH if amp else _PRECISION
+    scale = 1.0 / math.sqrt(ck)
+    if ms is not None:
+        col = (ms.astype(jnp.float32) * scale)
+    else:
+        col = jnp.full((n,), scale, jnp.float32)
+    col = jnp.pad(col, (0, nn - n))
+
+    if qe is not None:
+        b_sq = jnp.sum(qe * qk * qk, axis=-1, keepdims=True)       # [P, 1]
+        lhs = jnp.concatenate([qe, 2.0 * qk * qe, b_sq], axis=-1)  # [P, 2Ck+1]
+        rhs = jnp.concatenate([-mk * mk, mk,
+                               -jnp.ones((n, 1), mk.dtype)], axis=-1)
+    else:
+        a_sq = jnp.sum(mk * mk, axis=-1, keepdims=True)            # [N, 1]
+        lhs = jnp.concatenate([2.0 * qk, jnp.ones((p, 1), qk.dtype)], axis=-1)
+        rhs = jnp.concatenate([mk, -a_sq], axis=-1)
+    lhs = jnp.pad(lhs, ((0, pp - p), (0, 0)))
+    rhs = jnp.pad(rhs, ((0, nn - n), (0, 0)))
+    sim = jnp.matmul(lhs, rhs.T, preferred_element_type=jnp.float32,
+                     precision=prec)
+    return sim * col[None, :]
+
+
 def softmax_w_top(
     sim: jnp.ndarray,
     top_k: int,
